@@ -1,0 +1,36 @@
+"""Test configuration: force CPU backend with a virtual 8-device mesh, x64 on.
+
+The test environment pre-imports jax with a tunneled TPU backend (high per-call
+latency), so we must switch platforms via ``jax.config`` — env vars alone are
+read too early.  Mirrors the reference's tolerance-based unit-test strategy
+(SURVEY.md §4) on a CPU fake of the TPU mesh
+(``xla_force_host_platform_device_count=8``) so sharding paths are exercised
+without hardware.
+"""
+import os
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
