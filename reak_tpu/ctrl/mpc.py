@@ -1,0 +1,191 @@
+"""Condensed linear(ized) MPC — the north-star workload (BASELINE.md).
+
+There is no MPC in the reference; this engine is the TPU-native composition of
+its ingredients (SURVEY.md §7.5): KTE forward dynamics (3.1 call stack) →
+jacfwd linearization (replacing hand Jacobians) → condensed QP over the horizon
+(mat_are/quadratic_programs recipes) → batched interior-point solve.
+
+Pipeline per scenario (all fused under one jit, vmapped over scenarios):
+  1. nominal rollout of the discrete dynamics F(x, u) over horizon H
+  2. LTV linearization A_t, B_t along the nominal (one ``vmap``-ed jacfwd)
+  3. condensation  x = Sx x0 + Su u + d   (prediction-matrix scan)
+  4. QP:  min ½uᵀ(SuᵀQ̄Su + R̄)u + gᵀu  s.t. box bounds  (MXU-friendly GEMMs)
+  5. optional receding-horizon execution via lax.scan
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from reak_tpu.ctrl.qp import solve_box_qp, QPResult
+from reak_tpu.math.linalg import solve_pd
+
+
+class MPCProblem(NamedTuple):
+    """Static MPC definition (weights broadcast over the horizon)."""
+
+    Q: jax.Array  # (n, n) state stage cost
+    R: jax.Array  # (m, m) input stage cost
+    QN: jax.Array  # (n, n) terminal cost
+    u_min: jax.Array  # (m,)
+    u_max: jax.Array  # (m,)
+    horizon: int
+
+
+class MPCSolution(NamedTuple):
+    u: jax.Array  # (H, m) optimal input sequence
+    x: jax.Array  # (H, n) predicted states under u (linear model)
+    qp: QPResult
+
+
+def rollout_nominal(F: Callable, x0, u_seq):
+    """Roll the discrete dynamics under a nominal input sequence → (H, n)."""
+
+    def body(x, u):
+        x1 = F(x, u)
+        return x1, x1
+
+    _, xs = jax.lax.scan(body, x0, u_seq)
+    return xs
+
+
+def linearize_ltv(F: Callable, xs, us):
+    """Per-step Jacobians along a trajectory: A_t, B_t, c_t with
+    x_{t+1} = A_t x_t + B_t u_t + c_t  (vmapped jacfwd)."""
+
+    def lin(x, u):
+        A = jax.jacfwd(lambda xx: F(xx, u))(x)
+        B = jax.jacfwd(lambda uu: F(x, uu))(u)
+        c = F(x, u) - A @ x - B @ u
+        return A, B, c
+
+    return jax.vmap(lin)(xs, us)
+
+
+def condense(A_seq, B_seq, c_seq, x0):
+    """Prediction matrices:  X = Sx·x0 + Su·U + d.
+
+    X stacks x_1..x_H (H·n), U stacks u_0..u_{H-1} (H·m).
+    Built with a scan over the horizon; each step is one (n×n)·(n×Hm) GEMM,
+    which XLA maps to the MXU (batched over scenarios via vmap).
+    """
+    H, n, m = B_seq.shape[0], A_seq.shape[-1], B_seq.shape[-1]
+    dtype = A_seq.dtype
+
+    def body(carry, inp):
+        phi, dprev = carry  # phi: (n, H·m) accumulated input map, d: (n,)
+        A, B, c, t = inp
+        # x_{t+1} = A x_t + B u_t + c;  x_t = phi·U + (Sx row)·x0 + d
+        phi_new = A @ phi
+        phi_new = jax.lax.dynamic_update_slice(phi_new, B, (0, t * m))
+        d_new = A @ dprev + c
+        return (phi_new, d_new), (phi_new, d_new)
+
+    phi0 = jnp.zeros((n, H * m), dtype)
+    d0 = jnp.zeros((n,), dtype)
+    ts = jnp.arange(H)
+    (_, _), (phis, ds) = jax.lax.scan(body, (phi0, d0), (A_seq, B_seq, c_seq, ts))
+
+    # state-transition products for Sx: Phi_t = A_{t-1}···A_0
+    def body2(P, A):
+        P1 = A @ P
+        return P1, P1
+
+    _, Phis = jax.lax.scan(body2, jnp.eye(n, dtype=dtype), A_seq)
+
+    Su = phis.reshape(H * n, H * m)
+    Sx = Phis.reshape(H * n, n)
+    d = ds.reshape(H * n)
+    return Sx, Su, d
+
+
+def build_qp(problem: MPCProblem, Sx, Su, d, x0, x_ref=None, u_ref=None):
+    """Condensed QP data:  min ½UᵀH_qp U + gᵀU  with box bounds.
+
+    H_qp = SuᵀQ̄Su + R̄,  g = SuᵀQ̄(Sx x0 + d − Xref) − R̄·Uref.
+    """
+    H, n, m = problem.horizon, problem.Q.shape[-1], problem.R.shape[-1]
+    dtype = Su.dtype
+    # Q̄ = blockdiag(Q, …, Q, QN): apply as reshape-matmul (no big block matrix)
+    free = Sx @ x0 + d  # (H·n,) free response
+    if x_ref is not None:
+        free = free - x_ref.reshape(H * n)
+
+    def apply_Qbar(X_flat):
+        Xs = X_flat.reshape(H, n)
+        QX = Xs @ problem.Q.T
+        QX = QX.at[-1].set(Xs[-1] @ problem.QN.T)
+        return QX.reshape(H * n)
+
+    QSu = jax.vmap(apply_Qbar, in_axes=1, out_axes=1)(Su)  # (H·n, H·m)
+    H_qp = Su.T @ QSu
+    # add R̄ on the block diagonal
+    Rbar = jnp.kron(jnp.eye(H, dtype=dtype), problem.R)
+    H_qp = H_qp + Rbar
+    g = Su.T @ apply_Qbar(free)
+    if u_ref is not None:
+        g = g - Rbar @ u_ref.reshape(H * m)
+    return H_qp, g
+
+
+def solve(
+    F: Callable,
+    problem: MPCProblem,
+    x0,
+    u_init=None,
+    x_ref=None,
+    u_ref=None,
+    qp_iters: int = 15,
+    sqp_iters: int = 1,
+    constrained: bool = True,
+) -> MPCSolution:
+    """One MPC solve: linearize about a nominal, condense, QP.
+
+    ``sqp_iters > 1`` re-linearizes about the previous solution (real-time
+    iteration / SQP refinement) — needed for strongly nonlinear plants.
+    """
+    Hh, m = problem.horizon, problem.R.shape[-1]
+    n = problem.Q.shape[-1]
+    dtype = x0.dtype
+    u = jnp.zeros((Hh, m), dtype) if u_init is None else u_init
+    lb = jnp.tile(problem.u_min, Hh)
+    ub = jnp.tile(problem.u_max, Hh)
+
+    qp_res = None
+    for _ in range(sqp_iters):
+        xs = rollout_nominal(F, x0, u)
+        xs_prev = jnp.concatenate([x0[None], xs[:-1]], axis=0)
+        A_seq, B_seq, c_seq = linearize_ltv(F, xs_prev, u)
+        Sx, Su, d = condense(A_seq, B_seq, c_seq, x0)
+        H_qp, g = build_qp(problem, Sx, Su, d, x0, x_ref, u_ref)
+        if constrained:
+            qp_res = solve_box_qp(H_qp, g, lb, ub, iters=qp_iters)
+            U = qp_res.x
+        else:
+            U = -solve_pd(H_qp, g)
+            qp_res = QPResult(x=U, iters=jnp.asarray(0), gap=jnp.asarray(0.0, dtype))
+        u = U.reshape(Hh, m)
+
+    xs = (Sx @ x0 + Su @ qp_res.x + d).reshape(Hh, n)
+    return MPCSolution(u=u, x=xs, qp=qp_res)
+
+
+def receding_horizon(F, problem, x0, n_steps, **kw):
+    """Closed-loop MPC execution: apply first input, advance plant, repeat.
+    Returns (states (n_steps, n), inputs (n_steps, m))."""
+
+    def body(carry, _):
+        x, u_warm = carry
+        sol = solve(F, problem, x, u_init=u_warm, **kw)
+        u0 = sol.u[0]
+        x1 = F(x, u0)
+        u_next = jnp.concatenate([sol.u[1:], sol.u[-1:]], axis=0)  # shift warm start
+        return (x1, u_next), (x1, u0)
+
+    m = problem.R.shape[-1]
+    u_warm = jnp.zeros((problem.horizon, m), x0.dtype)
+    _, (xs, us) = jax.lax.scan(body, (x0, u_warm), None, length=n_steps)
+    return xs, us

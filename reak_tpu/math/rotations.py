@@ -167,18 +167,32 @@ def q_to_axis_angle(q):
 
 
 def q_exp(v):
-    """Exponential map from rotation vector (..., 3) to quaternion."""
-    angle = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    """Exponential map from rotation vector (..., 3) to quaternion.
+
+    AD-safe at v = 0 (double-where guards the norm so jvp/grad are finite).
+    """
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    safe = n2 > 1e-16
+    angle = jnp.sqrt(jnp.where(safe, n2, 1.0))
     half = 0.5 * angle
-    # sinc form is stable at angle→0
-    k = jnp.where(angle > 1e-8, jnp.sin(half) / jnp.maximum(angle, 1e-30), 0.5)
-    return jnp.concatenate([jnp.cos(half), k * v], axis=-1)
+    # sinc(half)/2: series 0.5 − n²/48 near zero
+    k = jnp.where(safe, jnp.sin(half) / angle, 0.5 - n2 / 48.0)
+    w = jnp.where(safe, jnp.cos(half), 1.0 - n2 / 8.0)
+    return jnp.concatenate([w, k * v], axis=-1)
 
 
 def q_log(q):
-    """Log map: quaternion → rotation vector (..., 3)."""
-    axis, angle = q_to_axis_angle(q)
-    return axis * angle[..., None]
+    """Log map: quaternion → rotation vector (..., 3).  AD-safe at identity."""
+    w = q[..., 0:1]
+    qv = q[..., 1:4]
+    n2 = jnp.sum(qv * qv, axis=-1, keepdims=True)
+    safe = n2 > 1e-16
+    n = jnp.sqrt(jnp.where(safe, n2, 1.0))
+    # scale = 2·atan2(n, w)/n; series for small n: 2/w·(1 − n²/(3w²))
+    scale = jnp.where(
+        safe, 2.0 * jnp.arctan2(n, w) / n, 2.0 / w * (1.0 - n2 / (3.0 * w * w))
+    )
+    return scale * qv
 
 
 def qslerp(q0, q1, t):
