@@ -65,6 +65,20 @@ def linearize_ltv(F: Callable, xs, us):
     return jax.vmap(lin)(xs, us)
 
 
+def linearize_ltv_series(f_cont: Callable, dt: float, xs, us, order: int = 4):
+    """Per-step discrete linearization from the CONTINUOUS dynamics via
+    truncated exponential series (one jacfwd per step instead of AD through
+    all RK stages — ~4× smaller trace, XLA-CPU-compile friendly).  See
+    systems.linearize_discrete_series."""
+    from reak_tpu.ctrl.systems import linearize_discrete_series
+
+    def lin(x, u):
+        m = linearize_discrete_series(f_cont, x, u, dt, order)
+        return m.A, m.B, m.c
+
+    return jax.vmap(lin)(xs, us)
+
+
 def condense(A_seq, B_seq, c_seq, x0):
     """Prediction matrices:  X = Sx·x0 + Su·U + d.
 
@@ -141,11 +155,18 @@ def solve(
     qp_iters: int = 15,
     sqp_iters: int = 1,
     constrained: bool = True,
+    f_cont: Optional[Callable] = None,
+    dt: Optional[float] = None,
+    linearizer: Optional[Callable] = None,
 ) -> MPCSolution:
     """One MPC solve: linearize about a nominal, condense, QP.
 
     ``sqp_iters > 1`` re-linearizes about the previous solution (real-time
     iteration / SQP refinement) — needed for strongly nonlinear plants.
+
+    If ``f_cont``/``dt`` are given, the LTV models come from the continuous
+    dynamics via the exponential-series discretization (much cheaper to
+    compile and trace than AD through the discrete RK map; exact for LTI).
     """
     Hh, m = problem.horizon, problem.R.shape[-1]
     n = problem.Q.shape[-1]
@@ -158,7 +179,12 @@ def solve(
     for _ in range(sqp_iters):
         xs = rollout_nominal(F, x0, u)
         xs_prev = jnp.concatenate([x0[None], xs[:-1]], axis=0)
-        A_seq, B_seq, c_seq = linearize_ltv(F, xs_prev, u)
+        if linearizer is not None:
+            A_seq, B_seq, c_seq = linearizer(xs_prev, u)
+        elif f_cont is not None:
+            A_seq, B_seq, c_seq = linearize_ltv_series(f_cont, dt, xs_prev, u)
+        else:
+            A_seq, B_seq, c_seq = linearize_ltv(F, xs_prev, u)
         Sx, Su, d = condense(A_seq, B_seq, c_seq, x0)
         H_qp, g = build_qp(problem, Sx, Su, d, x0, x_ref, u_ref)
         if constrained:

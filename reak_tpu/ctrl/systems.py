@@ -55,6 +55,66 @@ def discretize_lti(A, B, dt):
     return E[..., :n, :n], E[..., :n, n:]
 
 
+def discretize_series(A, B, f0, x, u, dt, order: int = 4) -> LinearModel:
+    """Series discretization of a continuous linear model (A, B, affine rate
+    f0 = f(x, u)) about the nominal (x, u):
+
+        S   = Σ_{k=1..order} dtᵏ A^{k-1} / k!
+        A_d = I + A·S,   B_d = S·B,   c_d = x + S·f0 − A_d x − B_d u
+
+    order=4 reproduces RK4-on-LTI exactly, so pairing this with an RK4
+    nominal rollout keeps the condensed MPC model consistent to O(dt⁵).
+    """
+    n = x.shape[-1]
+    eye = jnp.eye(n, dtype=x.dtype)
+    S = eye * dt
+    term = eye * dt
+    for k in range(2, order + 1):
+        term = (dt / k) * (A @ term)
+        S = S + term
+    Ad = eye + A @ S
+    Bd = S @ B
+    cd = x + S @ f0 - Ad @ x - Bd @ u
+    return LinearModel(A=Ad, B=Bd, c=cd)
+
+
+def linearize_discrete_series(f: Callable, x, u, dt, order: int = 4, t=0.0) -> LinearModel:
+    """Discrete linearization of the flow of ẋ = f(x, u) over one step from ONE
+    continuous jacfwd + the exponential series — the compile-cheap replacement
+    for AD through all four RK stages."""
+    A = jax.jacfwd(lambda xx: f(xx, u, t))(x)
+    B = jax.jacfwd(lambda uu: f(x, uu, t))(u)
+    f0 = f(x, u, t)
+    return discretize_series(A, B, f0, x, u, dt, order)
+
+
+def kte_ltv_linearizer(spec, dt: float, actuated=None, order: int = 4) -> Callable:
+    """Compile-cheap LTV linearizer for fixed-base KTE chains, for MPC:
+    ``linearizer(xs, us) → (A_d, B_d, c_d)`` stacked per horizon step.
+
+    Uses the analytic forward-dynamics derivative (kte.dynamics.linearize_fd —
+    AD stops at (M, f); ∂q̈/∂u = M⁻¹S analytically) + exponential-series
+    discretization.  Much cheaper to trace/compile than jacfwd through RK4.
+    """
+    from reak_tpu.kte.dynamics import linearize_fd
+
+    def lin_one(x, u):
+        nvs = x.shape[-1] // 2
+        q, qd = x[:nvs], x[nvs:]
+        tau = u if actuated is None else actuated @ u
+        qdd, dq, dqd, msolve = linearize_fd(spec, q, qd, tau)
+        zero = jnp.zeros((nvs, nvs), x.dtype)
+        eye = jnp.eye(nvs, dtype=x.dtype)
+        A = jnp.block([[zero, eye], [dq, dqd]])
+        Minv_S = msolve(eye if actuated is None else actuated)
+        B = jnp.concatenate([jnp.zeros_like(Minv_S), Minv_S], axis=0)
+        f0 = jnp.concatenate([qd, qdd])
+        m = discretize_series(A, B, f0, x, u, dt, order)
+        return m.A, m.B, m.c
+
+    return jax.vmap(lin_one)
+
+
 def rk4_discrete(f: Callable, dt: float) -> Callable:
     """Wrap a continuous system into a one-step discrete map with RK4
     (ref: ctrl/ctrl_sys/num_int_dtnl_system.hpp:55 num_int_dtnl_sys)."""

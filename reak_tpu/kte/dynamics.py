@@ -244,12 +244,11 @@ def _passive_joint_force(spec: ChainSpec, q: jax.Array, qd: jax.Array) -> jax.Ar
     return f
 
 
-def bias_force(spec: ChainSpec, q: jax.Array, qd: jax.Array) -> jax.Array:
-    """Accumulated generalized force with q̈ = 0 — the reference's ``f_nl``
-    from the doMotion/clearForce/doForce sweeps (test_am.cpp:47-59), including
-    gravity, centrifugal/Coriolis bias, and passive joint elements.
-
-    Forward dynamics is then  M q̈ = τ + bias_force.
+def dynamics_terms(spec: ChainSpec, q: jax.Array, qd: jax.Array):
+    """Fused (M, f_nl): one FK + one jvp produce the mass matrix AND the
+    accumulated bias force — the whole doMotion/clearForce/doForce +
+    mass-matrix pipeline of the reference in a single pass
+    (ref: kte_map_chain.hpp:71-89 + mass_matrix_calculator.cpp:80-287).
     """
     dtype = q.dtype
     c = _spec_const(spec, dtype)
@@ -257,27 +256,37 @@ def bias_force(spec: ChainSpec, q: jax.Array, qd: jax.Array) -> jax.Array:
     def vel_map(qq):
         res = fk(spec, qq)
         Jv, Jw = jacobians(spec, qq, res)
-        return Jv @ qd, Jw @ qd, res
+        return Jv @ qd, Jw @ qd, Jv, Jw
 
-    # one jvp delivers J̇q̇ (world-lin / body-ang bias accelerations)
-    (v, w, res), (a_bias, alpha_bias, _) = jax.jvp(
+    # one jvp: primals give velocities + Jacobians, tangents give J̇q̇ bias accels
+    (v, w, Jv, Jw), (a_bias, alpha_bias, _, _) = jax.jvp(
         vel_map, (q,), (config_rate(spec, q, qd),)
     )
+    M = jnp.einsum("b,bik,bil->kl", c["mass"], Jv, Jv)
+    M = M + jnp.einsum("bik,bij,bjl->kl", Jw, c["inertia"], Jw)
     # d'Alembert: base acceleration = -gravity (test_am.cpp:106)
     a_total = a_bias - c["gravity"][None, :]
-    Jv, Jw = jacobians(spec, q, res)
     # inertia elements subtract m·a and Iα + ω×Iω (inertia.cpp:111-121)
     f_lin = -c["mass"][:, None] * a_total  # (nb, 3) world coords
     Iw = jnp.einsum("bij,bj->bi", c["inertia"], w)
     f_ang = -(jnp.einsum("bij,bj->bi", c["inertia"], alpha_bias) + jnp.cross(w, Iw))
-    tau = jnp.einsum("bik,bi->k", Jv, f_lin) + jnp.einsum("bik,bi->k", Jw, f_ang)
-    return tau + _passive_joint_force(spec, q, qd)
+    f = jnp.einsum("bik,bi->k", Jv, f_lin) + jnp.einsum("bik,bi->k", Jw, f_ang)
+    return M, f + _passive_joint_force(spec, q, qd)
+
+
+def bias_force(spec: ChainSpec, q: jax.Array, qd: jax.Array) -> jax.Array:
+    """Accumulated generalized force with q̈ = 0 — the reference's ``f_nl``
+    from the doMotion/clearForce/doForce sweeps (test_am.cpp:47-59), including
+    gravity, centrifugal/Coriolis bias, and passive joint elements.
+
+    Forward dynamics is then  M q̈ = τ + bias_force.
+    """
+    return dynamics_terms(spec, q, qd)[1]
 
 
 def forward_dynamics(spec: ChainSpec, q, qd, tau=None) -> jax.Array:
     """q̈ = M⁻¹(τ + f_nl) via Cholesky (ref: manipulator_model.cpp:346-354)."""
-    M = mass_matrix(spec, q)
-    f = bias_force(spec, q, qd)
+    M, f = dynamics_terms(spec, q, qd)
     if tau is not None:
         f = f + tau
     return solve_pd(M, f)
@@ -286,7 +295,41 @@ def forward_dynamics(spec: ChainSpec, q, qd, tau=None) -> jax.Array:
 def inverse_dynamics(spec: ChainSpec, q, qd, qdd) -> jax.Array:
     """Required generalized force: τ = M q̈ − f_nl
     (ref: kte_models/inverse_dynamics_model.hpp:54)."""
-    return mass_matrix(spec, q) @ qdd - bias_force(spec, q, qd)
+    M, f = dynamics_terms(spec, q, qd)
+    return M @ qdd - f
+
+
+def linearize_fd(spec: ChainSpec, q, qd, tau=None):
+    """Analytic-structure linearization of forward dynamics for fixed-base
+    chains (nq == nv): returns (qdd, ∂q̈/∂q, ∂q̈/∂q̇, M⁻¹ as a solve closure).
+
+    Key identity:  ∂(M⁻¹(f+τ)) = M⁻¹(∂f − ∂M·q̈), so AD only runs through
+    ``dynamics_terms`` (12 tangents) and never through the Cholesky solve —
+    about 4× smaller trace than jacfwd of forward_dynamics, and one factor
+    of M is reused for every right-hand side.
+    """
+    if spec.has_free_base:
+        raise NotImplementedError("linearize_fd: fixed-base chains only")
+    nv = spec.nv
+
+    def terms(x):
+        return dynamics_terms(spec, x[:nv], x[nv:])
+
+    x = jnp.concatenate([q, qd])
+    M, f = terms(x)
+    dM, df = jax.jacfwd(terms)(x)  # dM: (nv, nv, 2nv), df: (nv, 2nv)
+    rhs = f if tau is None else f + tau
+    L = jnp.linalg.cholesky(M)
+
+    def msolve(b):
+        y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+    qdd = msolve(rhs)
+    # ∂q̈/∂x = M⁻¹ (df/∂x − (∂M/∂x) q̈)
+    dq_rhs = df - jnp.einsum("ijx,j->ix", dM, qdd)
+    dqdd = msolve(dq_rhs)  # (nv, 2nv)
+    return qdd, dqdd[:, :nv], dqdd[:, nv:], msolve
 
 
 # ---------------------------------------------------------------------------

@@ -118,6 +118,7 @@ def manip_3r3r(
     joint4_to_wrist=0.1802,
     wrist_to_flange=0.0762,
     link_masses=(9.0, 6.0, 4.0, 1.0, 0.7, 0.3),
+    rotor_inertia=0.05,
     gravity=9.81,
 ) -> ChainSpec:
     """6-DoF decoupled 3R-3R manipulator, CRS-A465 geometry — the flagship
@@ -157,10 +158,13 @@ def manip_3r3r(
     inert = np.zeros((6, 3, 3))
     for i, (m, L) in enumerate(zip(link_masses, lengths)):
         com[i] = [0.0, 0.0, L / 2.0]
-        # solid rod along z: Ixx = Iyy = mL²/12, plus a small Izz so every
-        # body's rotational metric is nonsingular
+        # solid rod along z plus reflected rotor/gearbox inertia on every axis
+        # (keeps M well-conditioned, as on the physical CRS-A465 where geared
+        # drives dominate the wrist inertia)
         I_perp = m * L * L / 12.0
-        inert[i] = np.diag([I_perp, I_perp, 0.05 * m * 0.05**2 + 1e-4])
+        inert[i] = np.diag(
+            [I_perp + rotor_inertia, I_perp + rotor_inertia, rotor_inertia]
+        )
     return ChainSpec.build(
         joint_types=[REVOLUTE] * 6,
         axes=axes,

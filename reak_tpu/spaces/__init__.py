@@ -1,0 +1,38 @@
+"""Metric spaces / topologies for sampling-based planning and interpolation.
+
+TPU-native re-design of the reference's configuration-space library
+(ref: ctrl/topologies/* — metric_space_concept.hpp, differentiable_space.hpp:220,
+metric_space_tuple.hpp, se3_topologies.hpp:186, joint_space_topologies.hpp:63,
+Ndof_spaces.hpp:138, temporal_space.hpp, rate_limited_spaces.hpp).
+
+A space is a small value object exposing pure functions over array "points":
+
+    sample(key, batch)     random points         (random_sampler_concept.hpp)
+    distance(a, b)         metric                (metric_space_concept.hpp)
+    interpolate(a, b, t)   geodesic move         (the LERP of move_position_toward)
+    clamp(p)               project into bounds   (bounded_space_concept.hpp)
+    difference(a, b)       tangent delta
+
+Points are plain arrays (leading batch axes everywhere), so planners batch
+thousands of distance/steer evaluations per device call.
+"""
+from reak_tpu.spaces.base import Space, ProductSpace
+from reak_tpu.spaces.vector import HyperboxSpace, HyperballSpace, NdofSpace, LineSpace
+from reak_tpu.spaces.so3 import SO3Space
+from reak_tpu.spaces.se3 import SE3Space
+from reak_tpu.spaces.temporal import TemporalSpace
+from reak_tpu.spaces.rate_limited import RateLimitedNdofSpace, joint_limits_mapping
+
+__all__ = [
+    "Space",
+    "ProductSpace",
+    "HyperboxSpace",
+    "HyperballSpace",
+    "NdofSpace",
+    "LineSpace",
+    "SO3Space",
+    "SE3Space",
+    "TemporalSpace",
+    "RateLimitedNdofSpace",
+    "joint_limits_mapping",
+]
