@@ -42,8 +42,15 @@ def main():
         horizon=horizon,
     )
 
+    lin = systems.kte_ltv_linearizer(spec, dt)
+
+    method = os.environ.get("BENCH_METHOD", "riccati")
+
     def solve_one(x0):
-        sol = mpc.solve(F, prob, x0, qp_iters=qp_iters, sqp_iters=1, constrained=True)
+        sol = mpc.solve(
+            F, prob, x0, qp_iters=qp_iters, sqp_iters=1, constrained=True,
+            linearizer=lin, method=method,
+        )
         return sol.u[0], jnp.sum(sol.u * sol.u)
 
     solve_batch = jax.jit(jax.vmap(solve_one))

@@ -158,6 +158,7 @@ def solve(
     f_cont: Optional[Callable] = None,
     dt: Optional[float] = None,
     linearizer: Optional[Callable] = None,
+    method: str = "riccati",
 ) -> MPCSolution:
     """One MPC solve: linearize about a nominal, condense, QP.
 
@@ -167,6 +168,13 @@ def solve(
     If ``f_cont``/``dt`` are given, the LTV models come from the continuous
     dynamics via the exponential-series discretization (much cheaper to
     compile and trace than AD through the discrete RK map; exact for LTI).
+
+    ``method``:
+      - "riccati" (default): block-sparse interior point — KKT systems solved
+        by Riccati recursion, O(H·(n+m)³).  The fast path on TPU.
+      - "condensed": dense condensed QP (prediction matrices + PDIP with
+        (H·m)³ Cholesky).  MXU-heavy; useful as cross-check and for short
+        horizons.
     """
     Hh, m = problem.horizon, problem.R.shape[-1]
     n = problem.Q.shape[-1]
@@ -185,18 +193,60 @@ def solve(
             A_seq, B_seq, c_seq = linearize_ltv_series(f_cont, dt, xs_prev, u)
         else:
             A_seq, B_seq, c_seq = linearize_ltv(F, xs_prev, u)
-        Sx, Su, d = condense(A_seq, B_seq, c_seq, x0)
-        H_qp, g = build_qp(problem, Sx, Su, d, x0, x_ref, u_ref)
-        if constrained:
-            qp_res = solve_box_qp(H_qp, g, lb, ub, iters=qp_iters)
-            U = qp_res.x
-        else:
-            U = -solve_pd(H_qp, g)
-            qp_res = QPResult(x=U, iters=jnp.asarray(0), gap=jnp.asarray(0.0, dtype))
-        u = U.reshape(Hh, m)
 
-    xs = (Sx @ x0 + Su @ qp_res.x + d).reshape(Hh, n)
-    return MPCSolution(u=u, x=xs, qp=qp_res)
+        if method == "riccati" and constrained:
+            from reak_tpu.ctrl.riccati import solve_box_mpc_riccati
+
+            u, xs_pred = solve_box_mpc_riccati(
+                A_seq, B_seq, c_seq, problem.Q, problem.QN, problem.R,
+                x0, problem.u_min, problem.u_max,
+                x_ref=x_ref, u_ref=u_ref, iters=qp_iters,
+            )
+            qp_res = QPResult(
+                x=u.reshape(-1), iters=jnp.asarray(qp_iters), gap=jnp.asarray(0.0, dtype)
+            )
+        else:
+            Sx, Su, d = condense(A_seq, B_seq, c_seq, x0)
+            H_qp, g = build_qp(problem, Sx, Su, d, x0, x_ref, u_ref)
+            if constrained:
+                qp_res = solve_box_qp(H_qp, g, lb, ub, iters=qp_iters)
+                U = qp_res.x
+            else:
+                U = -solve_pd(H_qp, g)
+                qp_res = QPResult(x=U, iters=jnp.asarray(0), gap=jnp.asarray(0.0, dtype))
+            u = U.reshape(Hh, m)
+            xs_pred = (Sx @ x0 + Su @ qp_res.x + d).reshape(Hh, n)
+
+    return MPCSolution(u=u, x=xs_pred, qp=qp_res)
+
+
+def make_kte_mpc(spec, problem: MPCProblem, dt: float, qp_iters: int = 8,
+                 sqp_iters: int = 1):
+    """Fused batched MPC solver for a fixed-base KTE chain — the TPU fast path.
+
+    Composes the batch-in-lanes rollout+linearization (kte.soa) with the
+    Riccati interior-point QP; returns ``solve(x0s (B, 2nv), us_init (B, H, m))
+    → (us (B, H, m), xs (B, H, 2nv))``.  Wrap in jax.jit.
+    """
+    from reak_tpu.kte import soa
+    from reak_tpu.ctrl.riccati import solve_box_mpc_riccati
+
+    H = problem.horizon
+    roll = soa.make_rollout_ltv_soa(spec, dt, H)
+
+    def solve_batch(x0s, us_init):
+        us = us_init
+        for _ in range(sqp_iters):
+            A_seq, B_seq, c_seq, _ = roll(x0s, us)
+            us, xs = jax.vmap(
+                lambda A, B, c, x0: solve_box_mpc_riccati(
+                    A, B, c, problem.Q, problem.QN, problem.R, x0,
+                    problem.u_min, problem.u_max, iters=qp_iters,
+                )
+            )(A_seq, B_seq, c_seq, x0s)
+        return us, xs
+
+    return solve_batch
 
 
 def receding_horizon(F, problem, x0, n_steps, **kw):

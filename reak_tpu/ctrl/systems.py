@@ -112,7 +112,18 @@ def kte_ltv_linearizer(spec, dt: float, actuated=None, order: int = 4) -> Callab
         m = discretize_series(A, B, f0, x, u, dt, order)
         return m.A, m.B, m.c
 
-    return jax.vmap(lin_one)
+    def linearizer(xs, us):
+        # scan over the horizon (not vmap): under an outer scenario-vmap this
+        # becomes scan-of-batched-steps, keeping live jacfwd intermediates
+        # bounded by ONE step instead of H× (tiny trailing dims pad ~14× on
+        # TPU tiles, so H× materialization OOMs at large scenario batches)
+        def body(_, xu):
+            return None, lin_one(*xu)
+
+        _, (A, B, c) = jax.lax.scan(body, None, (xs, us))
+        return A, B, c
+
+    return linearizer
 
 
 def rk4_discrete(f: Callable, dt: float) -> Callable:
