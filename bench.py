@@ -3,14 +3,13 @@
 horizon H=50 (BASELINE.json north star; target ≥ 5000 solves/s/chip).
 
 One "solve" = the full per-scenario pipeline on device:
-  nonlinear KTE rollout (50 RK4 steps) → LTV jacfwd linearization →
-  condensation (prediction matrices) → box-constrained QP (Mehrotra PDIP).
+  fused nonlinear KTE rollout + LTV linearization (batch-in-lanes SoA core)
+  → Riccati-recursion interior-point box-QP (Mehrotra, 8 iterations).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
 import os
-import sys
 import time
 
 import jax
@@ -20,19 +19,16 @@ import numpy as np
 
 def main():
     from reak_tpu.kte import models
-    from reak_tpu.ctrl import mpc, systems
+    from reak_tpu.ctrl import mpc
 
     horizon = int(os.environ.get("BENCH_HORIZON", 50))
-    batch = int(os.environ.get("BENCH_BATCH", 4096))
+    batch = int(os.environ.get("BENCH_BATCH", 1024))
     qp_iters = int(os.environ.get("BENCH_QP_ITERS", 8))
     reps = int(os.environ.get("BENCH_REPS", 5))
     dt = 0.01
 
     spec = models.manip_3r3r()
-    f = systems.kte_continuous(spec)
-    F = systems.rk4_discrete(f, dt)
-
-    n, m = 12, 6
+    m = 6
     prob = mpc.MPCProblem(
         Q=jnp.diag(jnp.concatenate([jnp.full(6, 10.0), jnp.full(6, 1.0)])),
         R=jnp.eye(m) * 0.05,
@@ -42,18 +38,10 @@ def main():
         horizon=horizon,
     )
 
-    lin = systems.kte_ltv_linearizer(spec, dt)
-
-    method = os.environ.get("BENCH_METHOD", "riccati")
-
-    def solve_one(x0):
-        sol = mpc.solve(
-            F, prob, x0, qp_iters=qp_iters, sqp_iters=1, constrained=True,
-            linearizer=lin, method=method,
-        )
-        return sol.u[0], jnp.sum(sol.u * sol.u)
-
-    solve_batch = jax.jit(jax.vmap(solve_one))
+    solver = mpc.make_kte_mpc(spec, prob, dt, qp_iters=qp_iters, sqp_iters=1)
+    # reduce outputs to a scalar so timing forces full execution through the
+    # device tunnel (block_until_ready alone under-syncs on relayed backends)
+    step = jax.jit(lambda x0, u0: jnp.sum(solver(x0, u0)[0]))
 
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(
@@ -63,15 +51,15 @@ def main():
         ),
         dtype=jnp.float32,
     )
+    u0 = jnp.zeros((batch, horizon, m), jnp.float32)
 
     # warmup / compile
-    u0, c = solve_batch(x0)
-    jax.block_until_ready((u0, c))
+    s = float(step(x0, u0))
+    assert np.isfinite(s)
 
     t0 = time.perf_counter()
     for _ in range(reps):
-        u0, c = solve_batch(x0)
-    jax.block_until_ready((u0, c))
+        s = float(step(x0, u0))
     dt_total = time.perf_counter() - t0
 
     solves_per_s = batch * reps / dt_total

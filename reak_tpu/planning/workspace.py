@@ -1,0 +1,120 @@
+"""Collision-checked workspaces: the planner's view of C-free.
+
+(ref: ctrl/topologies/manip_free_workspace.hpp:113 manip_quasi_static_env —
+rate-limited joint space + DK map + proxy-query models;
+no_obstacle_space.hpp — the null-collision fake)
+
+A workspace bundles a Space with batched validity and edge-checking functions;
+planners only ever call the batched forms.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from reak_tpu.geom.proximity import ProxyModel, proxy_query
+from reak_tpu.geom.shapes import ShapeSet, pose_shapes
+
+
+class Workspace:
+    """Space + batched validity predicate.
+
+    ``is_free_batch(points (K, n)) → (K,) bool``
+    ``edge_free_batch(a (K, n), b (K, n)) → (K,) bool`` — checks ``n_checks``
+    interpolated points per edge in one device batch (the reference's
+    move_position_toward + is_free loop, manip_free_workspace.hpp:154).
+    """
+
+    def __init__(self, space, is_free_fn: Callable, n_checks: int = 16):
+        self.space = space
+        self._is_free = is_free_fn
+        self.n_checks = n_checks
+
+    def is_free_batch(self, pts):
+        return self._is_free(pts)
+
+    def edge_free_batch(self, a, b):
+        ts = jnp.linspace(0.0, 1.0, self.n_checks)
+        # (K, C, n) interpolated configurations
+        pts = a[:, None, :] + ts[None, :, None] * (b - a)[:, None, :]
+        flat = pts.reshape(-1, pts.shape[-1])
+        free = self._is_free(flat).reshape(pts.shape[0], self.n_checks)
+        return jnp.all(free, axis=-1)
+
+
+class NoObstacleWorkspace(Workspace):
+    """Everything free (ref: topologies/no_obstacle_space.hpp) — isolates
+    planner logic in tests."""
+
+    def __init__(self, space):
+        super().__init__(space, lambda pts: jnp.ones(pts.shape[0], bool), n_checks=2)
+
+
+def bitmap_workspace(space, grid, lower, upper, n_checks: int = 16) -> Workspace:
+    """2D occupancy-grid world — the TPU analog of the reference's OpenCV
+    bitmap test world (ref: topologies/ptrobot2D_test_world.hpp:65).
+
+    ``grid``: (H, W) bool array, True = free; points map linearly from
+    [lower, upper] to pixel coordinates.
+    """
+    grid = jnp.asarray(grid, bool)
+    lower = jnp.asarray(lower)
+    upper = jnp.asarray(upper)
+    hw = jnp.asarray(grid.shape, jnp.float32)
+
+    def is_free(pts):
+        uv = (pts - lower) / (upper - lower)
+        ij = jnp.clip((uv * hw).astype(jnp.int32), 0, jnp.asarray(grid.shape) - 1)
+        inside = jnp.all((uv >= 0) & (uv <= 1), axis=-1)
+        return inside & grid[ij[:, 0], ij[:, 1]]
+
+    return Workspace(space, is_free, n_checks)
+
+
+class ChainWorkspace(Workspace):
+    """Quasi-static manipulator workspace: joint-space points are valid when
+    the chain geometry clears the environment by ``margin``
+    (ref: manip_quasi_static_env, manip_free_workspace.hpp:113,79-95 —
+    DK map + proxy-query pairs).
+    """
+
+    def __init__(
+        self,
+        space,
+        spec,
+        robot_shapes: ShapeSet,
+        env: ProxyModel,
+        margin: float = 0.0,
+        n_checks: int = 16,
+    ):
+        from reak_tpu import kte
+
+        self.spec = spec
+        self.robot_shapes = robot_shapes
+        self.env = env
+        self.margin = margin
+
+        def is_free_one(q):
+            res = kte.fk(spec, q)
+            posed = pose_shapes(robot_shapes, res.body_pos, res.body_quat)
+            robot = ProxyModel(spheres=posed.spheres, capsules=posed.capsules,
+                               boxes=posed.boxes)
+            return proxy_query(robot, env) > margin
+
+        is_free = jax.jit(jax.vmap(is_free_one))
+        super().__init__(space, is_free, n_checks)
+
+    def min_distance_batch(self, qs):
+        """Batched clearance query (for SBA* density/clearance heuristics)."""
+        from reak_tpu import kte
+
+        def one(q):
+            res = kte.fk(self.spec, q)
+            posed = pose_shapes(self.robot_shapes, res.body_pos, res.body_quat)
+            robot = ProxyModel(spheres=posed.spheres, capsules=posed.capsules,
+                               boxes=posed.boxes)
+            return proxy_query(robot, self.env)
+
+        return jax.vmap(one)(qs)
