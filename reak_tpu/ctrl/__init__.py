@@ -5,6 +5,8 @@ TPU-native re-design of the reference's ctrl_sys layer
 belief states, LQR/LQG) plus the MPC/trajectory-optimization engine that the
 TPU build adds as its north-star workload (BASELINE.md).
 """
-from reak_tpu.ctrl import systems, qp, mpc, belief, kalman, ukf, invariant, lqg
+from reak_tpu.ctrl import (systems, qp, mpc, belief, kalman, ukf, invariant,
+                           lqg, ss_systems, aug_kalman, predictor)
 
-__all__ = ["systems", "qp", "mpc", "belief", "kalman", "ukf", "invariant", "lqg"]
+__all__ = ["systems", "qp", "mpc", "belief", "kalman", "ukf", "invariant",
+           "lqg", "ss_systems", "aug_kalman", "predictor"]

@@ -83,8 +83,16 @@ def iekf_update(h: Callable, ret: Retraction, b: GaussianBelief, z, R, t=0.0,
     (ref: invariant_kalman_filter.hpp:278 update; mean via state_space.adjust)."""
     zero = jnp.zeros(ret.dim, b.mean.dtype)
     z_hat = h(b.mean, t)
-    C = jax.jacfwd(lambda e: h(ret.retract(b.mean, e), t))(zero)
-    y = (z - z_hat) if diff is None else diff(z, z_hat)
+    if diff is None:
+        C = jax.jacfwd(lambda e: h(ret.retract(b.mean, e), t))(zero)
+        y = z - z_hat
+    else:
+        # manifold-valued outputs (e.g. quaternion pose): linearize the
+        # innovation itself, y(e) = diff(z, h(retract(x, e))) ≈ y0 − C·e,
+        # so C rows live in innovation space (the reference's invariant
+        # output error, invariant_system_concept.hpp get_invariant_error)
+        C = -jax.jacfwd(lambda e: diff(z, h(ret.retract(b.mean, e), t)))(zero)
+        y = diff(z, z_hat)
     S = C @ b.cov @ C.T + R
     K = solve_pd(S, C @ b.cov).T
     x1 = ret.retract(b.mean, K @ y)
