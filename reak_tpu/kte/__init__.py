@@ -43,6 +43,7 @@ from reak_tpu.kte.dynamics import (
     unpack_state,
 )
 from reak_tpu.kte import models
+from reak_tpu.kte import ik
 
 __all__ = [
     "ChainSpec",
@@ -64,4 +65,5 @@ __all__ = [
     "pack_state",
     "unpack_state",
     "models",
+    "ik",
 ]
