@@ -21,8 +21,22 @@ from reak_tpu.planning.prm import prm_plan
 from reak_tpu.planning.sbastar import sbastar_plan
 from reak_tpu.planning.queries import PlanningQuery, PlanResult, path_cost
 from reak_tpu.planning.engines import monte_carlo_engine
+from reak_tpu.planning.adstar import ADStar, adstar_search
+from reak_tpu.planning.fadprm import FADPRMPlanner, fadprm_plan
+from reak_tpu.planning.rrg import rrg_plan
+from reak_tpu.planning.dvp_tree import DVPTree, linear_nn
+from reak_tpu.planning.intercept import InterceptQuery, intercept_plan
 
 __all__ = [
+    "ADStar",
+    "adstar_search",
+    "FADPRMPlanner",
+    "fadprm_plan",
+    "rrg_plan",
+    "DVPTree",
+    "linear_nn",
+    "InterceptQuery",
+    "intercept_plan",
     "Workspace",
     "NoObstacleWorkspace",
     "ChainWorkspace",

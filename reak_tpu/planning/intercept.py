@@ -1,0 +1,121 @@
+"""Moving-target interception planning over a temporal space.
+
+(ref: ctrl/path_planning/intercept_query.hpp:75 motion_plan_intercept_query,
+driven by examples/robot_airship/CRS_planner_dynexec.cpp:75 — plan in
+time × joint space toward any point of a predicted target trajectory that is
+reachable within a time budget.)
+
+Time-augmented RRT: vertices are (t, q); edges only move forward in time with
+rate-limited |Δq| ≤ v_max·Δt; goal test is proximity to ``target_traj(t)``
+within the horizon.  The target trajectory is any callable t → q (e.g. the
+maximum-likelihood trajectory of ctrl.predictor mapped through IK, the
+reference's transformed_trajectory composition, CRS_planner_dynexec.cpp:180).
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reak_tpu.planning.queries import PlanResult
+
+
+class InterceptQuery(NamedTuple):
+    start: jnp.ndarray          # (n,) joint start
+    target_traj: Callable       # t → (n,) target point in the planning space
+    t_budget: float             # time horizon
+    v_max: float                # max joint-space speed
+    goal_tol: float = 0.2
+
+
+def intercept_plan(workspace, query: InterceptQuery, max_iters: int = 200,
+                   batch: int = 16, dt_max: float = 0.5,
+                   seed: int = 0) -> PlanResult:
+    """Returns a PlanResult whose path rows are [t, q...] (time-stamped
+    waypoints); cost is the interception time."""
+    space = workspace.space
+    start = np.asarray(query.start, np.float64)
+    n = start.shape[-1]
+    t0 = time.perf_counter()
+    key = jax.random.PRNGKey(seed)
+
+    cap = max_iters * batch + 1
+    T = np.zeros(cap)            # vertex times
+    V = np.zeros((cap, n))       # vertex configs
+    V[0] = start
+    parent = np.full(cap, -1, np.int64)
+    cnt = 1
+    goal_idx = -1
+
+    target_t = jnp.asarray(np.linspace(0.0, query.t_budget, 64))
+    target_pts = jnp.stack([jnp.asarray(query.target_traj(float(t)))
+                            for t in target_t])
+
+    @jax.jit
+    def wave(Vv, Tv, c, k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        q_samp = space.sample(k1, (batch,))
+        t_samp = jax.random.uniform(k2, (batch,)) * query.t_budget
+        # 20% goal bias: sample a target-trajectory point and its time
+        bias = jax.random.uniform(k3, (batch,)) < 0.2
+        ti = jax.random.randint(k3, (batch,), 0, target_t.shape[0])
+        q_samp = jnp.where(bias[:, None], target_pts[ti], q_samp)
+        t_samp = jnp.where(bias, target_t[ti], t_samp)
+        # nearest by temporal metric among vertices with T < t_samp
+        mask = jnp.arange(Vv.shape[0]) < c
+        def near(qs, ts):
+            dq = jax.vmap(lambda v: space.distance(qs, v))(Vv)
+            dtm = ts - Tv
+            feas = mask & (dtm > 1e-6) & (dq <= query.v_max * dtm)
+            # among feasible predecessors prefer min arrival slack; else min dq
+            score = jnp.where(feas, dq + dtm, jnp.inf)
+            fallback = jnp.where(mask & (dtm > 1e-6), dq, jnp.inf)
+            i = jnp.where(jnp.any(feas), jnp.argmin(score), jnp.argmin(fallback))
+            return i
+        ni = jax.vmap(near)(q_samp, t_samp)
+        src_q, src_t = Vv[ni], Tv[ni]
+        dt = jnp.minimum(t_samp - src_t, dt_max)
+        dt = jnp.maximum(dt, 1e-3)
+        # steer: bounded joint motion toward the sample
+        dq = q_samp - src_q
+        dqn = jnp.linalg.norm(dq, axis=-1, keepdims=True)
+        reach = query.v_max * dt[:, None]
+        new_q = space.clamp(src_q + dq * jnp.minimum(1.0, reach / (dqn + 1e-12)))
+        new_t = src_t + dt
+        ok = workspace.edge_free_batch(src_q, new_q) & (new_t <= query.t_budget)
+        # goal: close to the target at arrival time (nearest tabulated point)
+        tgt = target_pts[jnp.clip(
+            jnp.searchsorted(target_t, new_t), 0, target_t.shape[0] - 1)]
+        dist_tgt = jax.vmap(space.distance)(new_q, tgt)
+        hit = dist_tgt < query.goal_tol
+        return new_q, new_t, ni, ok, hit
+
+    for it in range(max_iters):
+        key, k = jax.random.split(key)
+        q_new, t_new, ni, ok, hit = wave(jnp.asarray(V), jnp.asarray(T),
+                                         jnp.asarray(cnt), k)
+        q_new, t_new = np.asarray(q_new), np.asarray(t_new)
+        ni, ok, hit = np.asarray(ni), np.asarray(ok), np.asarray(hit)
+        for b in range(batch):
+            if not ok[b]:
+                continue
+            V[cnt], T[cnt], parent[cnt] = q_new[b], t_new[b], ni[b]
+            if hit[b] and goal_idx < 0:
+                goal_idx = cnt
+            cnt += 1
+        if goal_idx >= 0:
+            break
+
+    if goal_idx < 0:
+        return PlanResult(success=False, path=None, cost=float("inf"),
+                          n_vertices=cnt, n_iterations=max_iters,
+                          wall_time_s=time.perf_counter() - t0)
+    idxs = [goal_idx]
+    while idxs[-1] != 0:
+        idxs.append(int(parent[idxs[-1]]))
+    idxs.reverse()
+    path = np.hstack([T[idxs][:, None], V[idxs]])
+    return PlanResult(success=True, path=jnp.asarray(path), cost=float(T[goal_idx]), n_vertices=cnt, n_iterations=it + 1, wall_time_s=time.perf_counter() - t0)
