@@ -23,6 +23,7 @@ from reak_tpu.io.serialization import (
     from_document,
 )
 from reak_tpu.io.config import Config, config_from_args, config_from_file
+from reak_tpu.io import native_recorder
 
 __all__ = [
     "Recorder",
