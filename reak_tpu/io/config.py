@@ -79,6 +79,8 @@ def config_from_args(argv: Iterable[str], defaults: Optional[Dict] = None) -> Co
         if key == "config":
             cfg = cfg.merged(config_from_file(val))
         else:
+            # flag spelling --mc-runs maps to key mc_runs (dots keep nesting)
+            key = key.replace("-", "_")
             overrides.append((key, _parse_value(val) if val else True))
     for key, val in overrides:
         cfg.set_path(key, val)
