@@ -6,7 +6,7 @@ belief states, LQR/LQG) plus the MPC/trajectory-optimization engine that the
 TPU build adds as its north-star workload (BASELINE.md).
 """
 from reak_tpu.ctrl import (systems, qp, mpc, belief, kalman, ukf, invariant,
-                           lqg, ss_systems, aug_kalman, predictor)
+                           lqg, ss_systems, aug_kalman, predictor, aqr_space)
 
 __all__ = ["systems", "qp", "mpc", "belief", "kalman", "ukf", "invariant",
-           "lqg", "ss_systems", "aug_kalman", "predictor"]
+           "lqg", "ss_systems", "aug_kalman", "predictor", "aqr_space"]
