@@ -47,8 +47,11 @@ def lqr_backward(A_seq, B_seq, Q, QN, R_seq):
         Vn = 0.5 * (Vn + Vn.T)
         return Vn, (K, F, G)
 
+    # tie the init to traced data so its varying-manual-axes match the body
+    # outputs under shard_map (plain constants are unvarying)
+    V0 = QN + jnp.zeros_like(A_seq[0])
     _, (Ks, Fs, Gs) = jax.lax.scan(
-        body, QN, (A_seq[::-1], B_seq[::-1], R_seq[::-1])
+        body, V0, (A_seq[::-1], B_seq[::-1], R_seq[::-1])
     )
     return LQRBackward(Ks=Ks[::-1], Fs=Fs[::-1], Gs=Gs[::-1], BtVc_v=jnp.zeros(()))
 
@@ -74,7 +77,7 @@ def lqr_solve_rhs(bw: LQRBackward, A_seq, B_seq, r_seq, x0):
 
     _, ks_rev = jax.lax.scan(
         backward,
-        jnp.zeros(n, A_seq.dtype),
+        jnp.zeros_like(r_seq[0], shape=(n,)),  # traced-derived zero (vma-safe)
         (A_seq[::-1], B_seq[::-1], r_seq[::-1], bw.Ks[::-1], bw.Gs[::-1]),
     )
     ks = ks_rev[::-1]
@@ -120,9 +123,12 @@ def qp_gradient(A_seq, B_seq, c_seq, Q, QN, R, x0, us, x_ref=None, u_ref=None):
         grad_u = ut @ R.T + Bt.T @ lam_full
         return At.T @ lam_full, grad_u
 
+    # derive the zero init from traced data so its varying-manual-axes match
+    # the scan outputs under shard_map (constants are unvarying by default)
+    lam0 = jnp.zeros_like(xs[0])
     _, grads_rev = jax.lax.scan(
         adjoint,
-        jnp.zeros(A_seq.shape[-1], A_seq.dtype),
+        lam0,
         (A_seq[::-1], B_seq[::-1], qs[::-1], us[::-1]),
     )
     grad = grads_rev[::-1]
@@ -157,11 +163,14 @@ def solve_box_mpc_riccati(
     UB = jnp.broadcast_to(ub, (H, m)).astype(dtype)
     N = H * m
 
-    u = 0.5 * (LB + UB)
+    # traced-derived zero ties the iterate inits to x0's varying-manual-axes
+    # so the interior-point scan carry types match under shard_map
+    vary0 = jnp.zeros((), dtype) * jnp.sum(x0)
+    u = 0.5 * (LB + UB) + vary0
     sl = u - LB
     su = UB - u
-    zl = jnp.ones((H, m), dtype)
-    zu = jnp.ones((H, m), dtype)
+    zl = jnp.ones((H, m), dtype) + vary0
+    zu = jnp.ones((H, m), dtype) + vary0
 
     def max_step(v, dv):
         t = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
