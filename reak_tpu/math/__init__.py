@@ -6,6 +6,6 @@ core/kinetostatics/rotations_3D.hpp, frame_3D.hpp).  Structured-matrix *types*
 collapse into plain arrays + convention; everything is batched by construction
 (ops broadcast over leading axes).
 """
-from reak_tpu.math import rotations, frames, linalg, are
+from reak_tpu.math import rotations, frames, linalg, are, tensors, sorting
 
-__all__ = ["rotations", "frames", "linalg", "are"]
+__all__ = ["rotations", "frames", "linalg", "are", "tensors", "sorting"]
