@@ -1,0 +1,108 @@
+"""Pallas kernel: batch-in-lanes Cholesky factor+solve for tiny SPD systems.
+
+The MPC hot loop solves H·50·2 SPD systems of size n ∈ {6, 12} per scenario
+per interior-point iteration (ctrl/riccati.py small_chol_solve — the TPU
+counterpart of the reference's fixed-size template solves,
+mat_cholesky.hpp:426).  This kernel keeps the whole unrolled
+factor+substitution in VMEM with the scenario batch laid out on hardware
+(sublane, lane) = (8, 128) tiles, so every scalar of the n³/6 recurrence is a
+full-width VPU op and nothing round-trips through HBM between steps.
+
+Layout contract (matches kte/soa.py batch-in-lanes):
+    G:   (n, n, B)  SPD per lane-column
+    rhs: (n, B)
+    x:   (n, B)     with  G[:, :, b] @ x[:, b] = rhs[:, b]
+B must be a multiple of 1024 (one (8, 128) tile per grid step); pad the
+scenario batch or fall back to math.linalg.small_chol_solve otherwise
+(`solve` below dispatches automatically).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE = 8 * 128  # one fp32 VPU tile of scenarios per grid step
+
+
+def _kernel(n: int, G_ref, r_ref, x_ref):
+    """Unrolled Cholesky + forward/backward substitution on (8, 128) tiles.
+
+    G_ref: (n, n, 8, 128), r_ref/x_ref: (n, 8, 128).  The n×n recurrence is
+    Python-unrolled (static n), each step a full-tile VPU op.
+    """
+    L = [[None] * n for _ in range(n)]
+    inv_diag = [None] * n
+    for j in range(n):
+        s = G_ref[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jax.lax.rsqrt(s)
+        inv_diag[j] = d
+        L[j][j] = s * d  # sqrt(s)
+        for i in range(j + 1, n):
+            t = G_ref[i, j]
+            for k in range(j):
+                t = t - L[i][k] * L[j][k]
+            L[i][j] = t * d
+
+    # forward substitution: L y = r
+    y = [None] * n
+    for i in range(n):
+        t = r_ref[i]
+        for k in range(i):
+            t = t - L[i][k] * y[k]
+        y[i] = t * inv_diag[i]
+    # backward substitution: Lᵀ x = y
+    for i in reversed(range(n)):
+        t = y[i]
+        for k in range(i + 1, n):
+            t = t - L[k][i] * x_ref[k]
+        x_ref[i] = t * inv_diag[i]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def solve_lanes(G, rhs, interpret: bool = False):
+    """Pallas path: G (n, n, B), rhs (n, B) with B % 1024 == 0 → x (n, B).
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests)."""
+    n, _, B = G.shape
+    assert B % _TILE == 0, f"batch {B} must be a multiple of {_TILE}"
+    nt = B // _TILE
+    Gt = G.reshape(n, n, nt * 8, 128)
+    rt = rhs.reshape(n, nt * 8, 128)
+    out = pl.pallas_call(
+        functools.partial(_kernel, n),
+        out_shape=jax.ShapeDtypeStruct((n, nt * 8, 128), G.dtype),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((n, n, 8, 128), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 8, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, 8, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(Gt, rt)
+    return out.reshape(n, B)
+
+
+def solve(G, rhs):
+    """Batched SPD solve, standard layout: G (B, n, n), rhs (B, n) → (B, n).
+
+    Dispatches to the Pallas lanes kernel when the batch tiles evenly and a
+    TPU backend is active; otherwise falls back to the unrolled jnp path
+    (math.linalg.small_chol_solve)."""
+    from reak_tpu.math.linalg import small_chol_solve
+
+    B, n, _ = G.shape
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if not on_tpu or B % _TILE != 0 or n > 16:
+        return small_chol_solve(G, rhs)
+    Gl = jnp.moveaxis(G, 0, -1)      # (n, n, B)
+    rl = jnp.moveaxis(rhs, 0, -1)    # (n, B)
+    return jnp.moveaxis(solve_lanes(Gl, rl), -1, 0)
