@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Scaling-efficiency benchmark: scenario-MPC throughput vs mesh size.
+
+BASELINE.md measurement points: 1 chip / 1 host / ≥2 hosts with target ≥85%
+weak-scaling efficiency at 2 hosts.  The workload is the headline bench.py
+solve (6-DoF KTE arm, H=50 Riccati-PDIP MPC) sharded over a 1-D scenario mesh
+with a psum-reduced cost summary — the SURVEY.md §2.24 parallel layout.
+
+On this machine only one real TPU chip is reachable, so by default the sweep
+runs on a virtual CPU device mesh (XLA_FLAGS=--xla_force_host_platform_device_count=N)
+to measure the *sharding overhead* of the program itself; on a real slice run
+with JAX_PLATFORMS=tpu (and jax.distributed for multi-host) and the same code
+measures true ICI scaling.
+
+Prints one JSON line per mesh size plus a final efficiency summary line.
+"""
+import json
+import os
+import sys
+import time
+
+N_DEVICES = int(os.environ.get("SCALING_DEVICES", "8"))
+if not os.environ.get("SCALING_REAL_TPU"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={N_DEVICES}"
+        ).strip()
+
+import jax
+
+if not os.environ.get("SCALING_REAL_TPU"):
+    # env vars are read too early under the tunneled-TPU plugin; the config
+    # switch is what actually selects the virtual CPU mesh (cf. tests/conftest)
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+
+def build_step(horizon, m):
+    from reak_tpu.kte import models
+    from reak_tpu.ctrl import mpc
+
+    if os.environ.get("SCALING_REAL_TPU"):
+        spec = models.manip_3r3r()  # the full headline arm on real chips
+        nq = 6
+    else:
+        spec = models.planar_2link()  # keep virtual-CPU compiles tractable
+        nq = 2
+    m = nq
+    prob = mpc.MPCProblem(
+        Q=jnp.eye(2 * nq),
+        R=jnp.eye(m) * 0.05,
+        QN=jnp.eye(2 * nq) * 5.0,
+        u_min=jnp.full(m, -20.0),
+        u_max=jnp.full(m, 20.0),
+        horizon=horizon,
+    )
+    solver = mpc.make_kte_mpc(spec, prob, 0.01, qp_iters=4, sqp_iters=1)
+    return solver, nq
+
+
+def run_point(n_dev, horizon=20, batch_per_device=64, reps=3):
+    from jax import shard_map
+
+    devs = jax.devices()[:n_dev]
+    mesh = Mesh(np.array(devs), ("scenarios",))
+    solver, nq = build_step(horizon, 6)
+
+    def local(x0s, u0s):
+        u, _ = solver(x0s, u0s)  # batched solver over the local shard
+        return jax.lax.psum(jnp.sum(u), "scenarios")
+
+    step = jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P("scenarios"), P("scenarios")),
+                             out_specs=P()))
+    B = batch_per_device * n_dev
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 2 * nq)), jnp.float32)
+    u0 = jnp.zeros((B, horizon, nq), jnp.float32)
+    s = float(step(x0, u0))  # compile + warm
+    assert np.isfinite(s)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        s = float(step(x0, u0))
+    dt = (time.perf_counter() - t0) / reps
+    return B * 1.0 / dt  # solves/s (weak scaling: B grows with n_dev)
+
+
+def main():
+    points = [1, 2, 4, N_DEVICES] if N_DEVICES >= 4 else [1, N_DEVICES]
+    points = sorted(set(p for p in points if p <= len(jax.devices())))
+    results = {}
+    for n in points:
+        sps = run_point(n)
+        results[n] = sps
+        print(json.dumps({"metric": "mpc_solves_per_s", "mesh": n,
+                          "value": round(sps, 1), "unit": "solves/s"}))
+    base = results[points[0]]
+    eff = {n: results[n] / (base * n) for n in points}
+    nmax = points[-1]
+    virtual = not os.environ.get("SCALING_REAL_TPU")
+    print(json.dumps({
+        "metric": "weak_scaling_efficiency",
+        "value": round(eff[nmax], 3),
+        "unit": f"x{nmax}_vs_x1",
+        "vs_baseline": round(eff[nmax] / 0.85, 3),
+        "per_mesh": {str(n): round(e, 3) for n, e in eff.items()},
+        # on the virtual CPU mesh all "devices" share the same physical
+        # cores, so efficiency measures host contention, not ICI scaling —
+        # the number is only meaningful with SCALING_REAL_TPU=1 on a slice
+        "backend": "cpu-virtual (sharding validation only)" if virtual
+                   else "tpu",
+    }))
+
+
+if __name__ == "__main__":
+    main()

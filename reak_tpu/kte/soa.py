@@ -330,8 +330,11 @@ def make_rollout_ltv_soa(spec: ChainSpec, dt: float, horizon: int, order: int = 
         # all n unit-tangent pulls in ONE vmapped pass over the linear map:
         # tangent leaf i is (n, B) with ones in row i
         batch_shape = x_tup[0].shape
+        # + 0·primal ties the tangent basis to the primal's varying-manual-
+        # axes so the linearized pullback type-checks under shard_map
+        vary0 = jnp.zeros(batch_shape, x_tup[0].dtype) * x_tup[0]
         tangents = tuple(
-            jnp.zeros((n,) + batch_shape, x_tup[0].dtype).at[i].set(1.0)
+            jnp.zeros((n,) + batch_shape, x_tup[0].dtype).at[i].set(1.0) + vary0
             for i in range(n)
         )
         Mt, ft = jax.vmap(lin_fn)(tangents)
