@@ -36,6 +36,7 @@ from reak_tpu.geom.proximity import (
 )
 
 __all__ = [
+    "convex",
     "Sphere",
     "Capsule",
     "Box",
@@ -55,3 +56,4 @@ __all__ = [
     "proxy_query",
     "ProxyModel",
 ]
+from reak_tpu.geom import convex

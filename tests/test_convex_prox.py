@@ -1,0 +1,97 @@
+"""Alternating-projection convex proximity (geom/convex.py) — exactness vs
+closed forms, hard pairs (box-box, cylinder-cylinder), batching."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reak_tpu.geom import convex
+from reak_tpu.geom.shapes import Box, Capsule, Cylinder, Sphere
+from reak_tpu.math import rotations as rot
+
+
+def _box(center, half, quat=None):
+    q = jnp.array([1.0, 0, 0, 0]) if quat is None else quat
+    return Box(jnp.asarray(center, jnp.float64), q,
+               jnp.asarray(half, jnp.float64))
+
+
+class TestProjections:
+    def test_box_projection(self):
+        b = _box([0.0, 0, 0], [1.0, 2.0, 0.5])
+        p = jnp.array([3.0, 0.0, 0.0])
+        np.testing.assert_allclose(np.asarray(convex.project_box(p, b)),
+                                   [1.0, 0.0, 0.0], atol=1e-14)
+
+    def test_cylinder_projection_side_and_cap(self):
+        c = Cylinder(jnp.array([0.0, 0, 0.0]), jnp.array([0.0, 0, 2.0]),
+                     jnp.asarray(0.5))
+        side, _ = convex.project_cylinder(jnp.array([2.0, 0.0, 1.0]), c)
+        np.testing.assert_allclose(np.asarray(side), [0.5, 0, 1.0], atol=1e-12)
+        cap, _ = convex.project_cylinder(jnp.array([0.2, 0.0, 5.0]), c)
+        np.testing.assert_allclose(np.asarray(cap), [0.2, 0, 2.0], atol=1e-12)
+        # inside → identity (set projection)
+        inside, _ = convex.project_cylinder(jnp.array([0.1, 0.0, 1.0]), c)
+        np.testing.assert_allclose(np.asarray(inside), [0.1, 0, 1.0], atol=0)
+
+
+class TestPairs:
+    def test_sphere_sphere_matches_closed_form(self):
+        s1 = Sphere(jnp.array([0.0, 0, 0]), jnp.asarray(0.5))
+        s2 = Sphere(jnp.array([3.0, 0, 0]), jnp.asarray(0.7))
+        r = convex.convex_pair(s1, s2)
+        assert abs(float(r.distance) - 1.8) < 1e-9
+
+    def test_box_box_axis_aligned_gap(self):
+        b1 = _box([0.0, 0, 0], [1.0, 1, 1])
+        b2 = _box([4.0, 0, 0], [1.0, 1, 1])
+        d = convex.dist_box_box(b1, b2)
+        assert abs(float(d) - 2.0) < 1e-9
+
+    def test_box_box_rotated(self):
+        # 45°-rotated unit box: corner points toward the other box
+        q = rot.q_from_axis_angle(jnp.array([0.0, 0, 1.0]), jnp.pi / 4)
+        b1 = _box([0.0, 0, 0], [1.0, 1, 1], q)
+        b2 = _box([4.0, 0, 0], [1.0, 1, 1])
+        d = float(convex.dist_box_box(b1, b2, iters=200))
+        expect = 4.0 - np.sqrt(2.0) - 1.0
+        assert abs(d - expect) < 1e-5
+
+    def test_box_box_overlap_is_zero(self):
+        b1 = _box([0.0, 0, 0], [1.0, 1, 1])
+        b2 = _box([1.5, 0, 0], [1.0, 1, 1])
+        assert float(convex.dist_box_box(b1, b2)) < 1e-9
+
+    def test_cylinder_cylinder_flat_caps(self):
+        """Coaxial cylinders gap = axial separation — the case the capsule
+        approximation gets WRONG (capsules would add the radii)."""
+        c1 = Cylinder(jnp.array([0.0, 0, 0.0]), jnp.array([0.0, 0, 1.0]),
+                      jnp.asarray(0.5))
+        c2 = Cylinder(jnp.array([0.0, 0, 3.0]), jnp.array([0.0, 0, 4.0]),
+                      jnp.asarray(0.5))
+        d = float(convex.dist_cylinder_cylinder(c1, c2))
+        assert abs(d - 2.0) < 1e-6
+        # capsule approximation for reference: 2.0 − 2·0.5 = 1.0
+        from reak_tpu.geom.proximity import dist_capsule_capsule
+        d_cap = dist_capsule_capsule(Capsule(c1.a, c1.b, c1.radius),
+                                     Capsule(c2.a, c2.b, c2.radius))
+        assert abs(float(d_cap) - 1.0) < 1e-9
+
+    def test_cylinder_box(self):
+        c = Cylinder(jnp.array([0.0, 0, 0.0]), jnp.array([0.0, 0, 1.0]),
+                     jnp.asarray(0.5))
+        b = _box([3.0, 0, 0.5], [1.0, 1, 1])
+        d = float(convex.dist_cylinder_box(c, b))
+        assert abs(d - 1.5) < 1e-6
+
+    def test_batched_and_jitted(self, rng):
+        K = 32
+        centers = jnp.asarray(rng.uniform(3, 6, (K, 3)))
+        b1 = Box(jnp.zeros((K, 3)), jnp.tile(jnp.array([1.0, 0, 0, 0]), (K, 1)),
+                 jnp.ones((K, 3)))
+        b2 = Box(centers, jnp.tile(jnp.array([1.0, 0, 0, 0]), (K, 1)),
+                 jnp.ones((K, 3)) * 0.5)
+        f = jax.jit(lambda a, b: convex.convex_pair(a, b).distance)
+        d = f(b1, b2)
+        assert d.shape == (K,)
+        assert bool(jnp.all(d >= 0)) and bool(jnp.all(jnp.isfinite(d)))
