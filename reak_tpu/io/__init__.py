@@ -24,6 +24,7 @@ from reak_tpu.io.serialization import (
 )
 from reak_tpu.io.config import Config, config_from_args, config_from_file
 from reak_tpu.io import native_recorder
+from reak_tpu.io import profiling
 
 __all__ = [
     "Recorder",

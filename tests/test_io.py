@@ -165,3 +165,32 @@ def test_config_from_args(tmp_path):
     assert cfg.flag is True
     assert cfg.name == "run1"
     assert cfg.weights == [1.0, 2.0]
+
+
+# ---------------------------------------------------------------------------
+# profiling (SURVEY.md §5.1)
+# ---------------------------------------------------------------------------
+
+
+def test_exec_time_profiler_sections():
+    from reak_tpu.io.profiling import ExecTimeProfiler
+    import time as _time
+
+    prof = ExecTimeProfiler()
+    for _ in range(3):
+        with prof.section("work"):
+            _time.sleep(0.002)
+    with prof.section("other"):
+        pass
+    s = prof.summary()
+    assert s["work"]["count"] == 3
+    assert s["work"]["total_s"] >= 0.005
+    assert "work" in prof.report()
+
+
+def test_block_timed():
+    import jax.numpy as jnp
+    from reak_tpu.io.profiling import block_timed
+
+    out, dt = block_timed(lambda x: jnp.sum(x * x), jnp.arange(100.0))
+    assert float(out) > 0 and dt >= 0
