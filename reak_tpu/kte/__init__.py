@@ -44,6 +44,7 @@ from reak_tpu.kte.dynamics import (
 )
 from reak_tpu.kte import models
 from reak_tpu.kte import ik
+from reak_tpu.kte import forces
 
 __all__ = [
     "ChainSpec",
@@ -66,4 +67,5 @@ __all__ = [
     "unpack_state",
     "models",
     "ik",
+    "forces",
 ]

@@ -223,7 +223,14 @@ def _passive_joint_force(spec: ChainSpec, q: jax.Array, qd: jax.Array) -> jax.Ar
         k = jnp.asarray(spec.stiffness[i], dtype)
         d = jnp.asarray(spec.damping[i], dtype)
         rq = jnp.asarray(spec.rest_q[i], dtype)
-        fi = -k * (qi - rq) - d * vi
+        e = qi - rq
+        # transmission backlash: spring engages only outside the deadband
+        # (ref: joint_backlash.hpp:47 joint_backlash_gen, lumped model)
+        gap = spec.backlash[i] if len(spec.backlash) > i else 0.0
+        if gap != 0.0:
+            half = jnp.asarray(0.5 * gap, dtype)
+            e = jnp.sign(e) * jnp.maximum(jnp.abs(e) - half, 0.0)
+        fi = -k * e - d * vi
         # dry microslip friction, piecewise (joint_friction.cpp:49-56)
         sc = spec.stiction_coef[i]
         if sc != 0.0 or spec.slip_coef[i] != 0.0:

@@ -336,3 +336,50 @@ def floating_arm(
         gravity=(0.0, 0.0, 0.0),
         name="floating_arm",
     )
+
+
+def flexible_beam(
+    n_segments=8,
+    length=1.0,
+    mass=1.0,
+    EI=50.0,
+    axis=(0.0, 1.0, 0.0),
+    gravity=9.81,
+    tip_mass=0.0,
+) -> ChainSpec:
+    """Cantilever Euler-Bernoulli beam as a pseudo-rigid-body chain
+    (ref: ctrl/mbd_kte/flexible_beam.hpp:52,209 flexible_beam_3D,
+    inertial_beam.hpp:50 — the reference's two-node bending elements become
+    N elastic revolute pseudo-joints with stiffness k = EI/h, the standard
+    lumped-compliance discretization; tip deflection converges to the
+    analytic w = qL^4/(8EI) as N grows).
+
+    The beam extends along +x from a clamped base; bending about ``axis``.
+    """
+    n = n_segments
+    h = length / n
+    seg_mass = mass / n
+    k = EI / h
+    axes = np.tile(np.asarray(axis, np.float64), (n, 1))
+    offs = np.zeros((n, 3))
+    offs[1:, 0] = h  # each pseudo-joint sits one segment along +x
+    com = np.zeros((n, 3))
+    com[:, 0] = h / 2
+    masses = np.full(n, seg_mass)
+    masses[-1] += tip_mass
+    inert = np.zeros((n, 3, 3))
+    for i in range(n):
+        inert[i][1, 1] = inert[i][2, 2] = seg_mass * h * h / 12.0
+        inert[i][0, 0] = 1e-8
+    return ChainSpec.build(
+        joint_types=[REVOLUTE] * n,
+        axes=axes,
+        offsets_pos=offs,
+        com_pos=com,
+        masses=masses,
+        inertias=inert,
+        stiffness=np.full(n, k),
+        damping=np.full(n, 0.02 * k * h),  # light material damping
+        gravity=(0.0, 0.0, -gravity),
+        name=f"flexible_beam_{n}",
+    )

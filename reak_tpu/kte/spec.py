@@ -80,6 +80,7 @@ class ChainSpec:
     stiction_coef: tuple
     slip_coef: tuple
     gravity: tuple
+    backlash: tuple = ()   # per-joint transmission deadband width (rad/m)
     name: str = "chain"
 
     # ------------------------------------------------------------------
@@ -100,6 +101,7 @@ class ChainSpec:
         stiction_coef=None,
         slip_coef=None,
         gravity=(0.0, 0.0, -9.81),
+        backlash=None,
         name="chain",
     ) -> "ChainSpec":
         n = len(joint_types)
@@ -134,6 +136,7 @@ class ChainSpec:
         slip_vel = default(slip_vel, (n,), 2e-6)
         stiction_coef = default(stiction_coef, (n,))
         slip_coef = default(slip_coef, (n,))
+        backlash = default(backlash, (n,))
 
         return ChainSpec(
             joint_types=joint_types,
@@ -151,6 +154,7 @@ class ChainSpec:
             stiction_coef=_as_tuple(stiction_coef),
             slip_coef=_as_tuple(slip_coef),
             gravity=_as_tuple(gravity),
+            backlash=_as_tuple(backlash),
             name=name,
         )
 
