@@ -147,6 +147,51 @@ def euler_discrete(f: Callable, dt: float) -> Callable:
     return F
 
 
+def semi_implicit_kte(spec, dt: float, actuated=None) -> Callable:
+    """Linearly-implicit (IMEX) one-step map for STIFF fixed-base KTE chains —
+    flexible beams and other high-stiffness joint-spring chains
+    (ref: flexible_beam.hpp:52 element; stepping strategy is new, TPU-native:
+    unconditional stability for the linear spring/damper part at any dt,
+    explicit treatment of the slow nonlinear terms).
+
+        (M + dt·D + dt²·K) v⁺ = M v + dt(f_ex + τ − K(q − q_rest))
+        q⁺ = q + dt·v⁺
+
+    with K = diag(joint stiffness), D = diag(joint damping) handled backward-
+    Euler, and f_ex the remaining (gravity/Coriolis/friction) forces explicit.
+    One PD solve per step — same cost class as one RK4 stage.
+    """
+    from reak_tpu.kte.dynamics import dynamics_terms
+    from reak_tpu.kte.spec import JointType, REVOLUTE, PRISMATIC
+    from reak_tpu.math.linalg import solve_pd
+    import numpy as np
+
+    if spec.has_free_base:
+        raise NotImplementedError("semi_implicit_kte: fixed-base chains only")
+    idx = [i for i, t in enumerate(spec.joint_types)
+           if JointType(t) in (REVOLUTE, PRISMATIC)]
+    k_np = np.asarray(spec.stiffness)[idx]
+    d_np = np.asarray(spec.damping)[idx]
+    rq_np = np.asarray(spec.rest_q)[idx]
+    nv = spec.nv
+
+    def F(x, u, t=0.0):
+        dtype = x.dtype
+        k = jnp.asarray(k_np, dtype)
+        d = jnp.asarray(d_np, dtype)
+        rq = jnp.asarray(rq_np, dtype)
+        q, v = x[:nv], x[nv:]
+        M, f = dynamics_terms(spec, q, v)  # f includes −K(q−rq) − D v
+        f_ex = f + k * (q - rq) + d * v
+        tau = u if actuated is None else actuated @ u
+        A = M + dt * jnp.diag(d) + dt * dt * jnp.diag(k)
+        rhs = M @ v + dt * (f_ex + tau - k * (q - rq))
+        v1 = solve_pd(A, rhs)
+        return jnp.concatenate([q + dt * v1, v1])
+
+    return F
+
+
 def lti_continuous(A, B) -> Callable:
     """ẋ = A x + B u (ref: lti_ss_system.hpp:54)."""
 

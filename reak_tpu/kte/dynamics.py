@@ -58,11 +58,63 @@ def _spec_const(spec: ChainSpec, dtype):
     )
 
 
+def _one_dof_only(spec: ChainSpec) -> bool:
+    return all(
+        JointType(t) in (REVOLUTE, PRISMATIC, FIXED) for t in spec.joint_types
+    )
+
+
+def _fk_scan(spec: ChainSpec, q: jax.Array) -> FkResult:
+    """Scan-form FK for 1-DoF/fixed chains: compile time O(1) in chain length
+    (the unrolled sweep's trace grows linearly and chokes XLA on long chains,
+    e.g. ≥8-segment flexible beams).  Joint-type dispatch becomes masked
+    updates — the "segmented scan" strategy of SURVEY.md §7 hard-parts."""
+    dtype = q.dtype
+    c = _spec_const(spec, dtype)
+    n = spec.n_joints
+    is_rev = np.array([JointType(t) == REVOLUTE for t in spec.joint_types], np.float64)
+    is_pri = np.array([JointType(t) == PRISMATIC for t in spec.joint_types], np.float64)
+    qsel = np.array(
+        [spec.q_index(i) if JointType(t) != FIXED else 0
+         for i, t in enumerate(spec.joint_types)], np.int32)
+    sel = jnp.asarray((is_rev + is_pri), dtype)
+    qfull = q[jnp.asarray(qsel)] * sel  # (n,) zero at FIXED slots
+    rev = jnp.asarray(is_rev, dtype)
+    pri = jnp.asarray(is_pri, dtype)
+
+    def body(carry, inp):
+        p, Q = carry
+        off_p, off_q, ax, com, qi, r, s = inp
+        p = p + rot.qrot(Q, off_p)
+        Q = rot.qmul(Q, off_q)
+        pre_Q = Q
+        a_g = rot.qrot(Q, ax)
+        anchor = p
+        half = 0.5 * qi * r  # identity quaternion when not revolute
+        qj = jnp.concatenate([jnp.cos(half)[None], ax * jnp.sin(half)])
+        Q = rot.qmul(Q, qj)
+        p = p + (qi * s) * a_g
+        com_w = p + rot.qrot(Q, com)
+        out = (p, Q, com_w, anchor, a_g * (r + s), pre_Q)
+        return (p, Q), out
+
+    init = (jnp.zeros(3, dtype), rot.qidentity(dtype))
+    _, (bp, bq, cw, an, ag, pq) = jax.lax.scan(
+        body, init, (c["off_pos"], c["off_quat"], c["axes"], c["com"], qfull, rev, pri)
+    )
+    return FkResult(body_pos=bp, body_quat=bq, com_pos=cw,
+                    joint_anchor=an, joint_axis=ag, pre_quat=pq)
+
+
 def fk(spec: ChainSpec, q: jax.Array) -> FkResult:
     """Forward kinematics sweep base→tip (ref: kte_map_chain.hpp:71 doMotion).
 
     ``q``: (nq,) configuration.  Returns stacked world-frame kinematic data.
+    Long 1-DoF chains route through the scan form (compile-time O(1));
+    short/free-base chains through the fully unrolled sweep (fastest runtime).
     """
+    if _one_dof_only(spec) and spec.n_joints >= 8:
+        return _fk_scan(spec, q)
     dtype = q.dtype
     c = _spec_const(spec, dtype)
     p = jnp.zeros(3, dtype)
@@ -126,6 +178,8 @@ def jacobians(spec: ChainSpec, q: jax.Array, fk_res: FkResult | None = None):
     """
     if fk_res is None:
         fk_res = fk(spec, q)
+    if _one_dof_only(spec):
+        return _jacobians_1dof(spec, q, fk_res)
     dtype = q.dtype
     nb, nv = spec.n_joints, spec.nv
 
@@ -172,6 +226,41 @@ def jacobians(spec: ChainSpec, q: jax.Array, fk_res: FkResult | None = None):
     return Jv, Jw
 
 
+def _jacobians_1dof(spec: ChainSpec, q: jax.Array, fk_res: FkResult):
+    """Vectorized twist-column assembly for 1-DoF/fixed chains: replaces the
+    per-column Python loop with masked batched cross products, so the trace
+    stays O(1) in chain length (same Tcm semantics as the generic path)."""
+    dtype = q.dtype
+    nb = spec.n_joints
+    idx = [i for i, t in enumerate(spec.joint_types)
+           if JointType(t) in (REVOLUTE, PRISMATIC)]
+    nv = len(idx)
+    if nv == 0:
+        z = jnp.zeros((nb, 3, 0), dtype)
+        return z, z
+    idx_np = np.asarray(idx)
+    # static reach mask: body b moves with dof k iff b >= joint(k)
+    reach = (np.arange(nb)[:, None] >= idx_np[None, :]).astype(np.float64)
+    w_rev = np.array(
+        [JointType(spec.joint_types[i]) == REVOLUTE for i in idx], np.float64
+    )[None, :, None]  # (1, nv, 1)
+    reach = jnp.asarray(reach[:, :, None], dtype)  # (nb, nv, 1)
+    w_rev = jnp.asarray(w_rev, dtype)
+
+    ax = fk_res.joint_axis[idx_np]  # (nv, 3)
+    anch = fk_res.joint_anchor[idx_np]  # (nv, 3)
+    rel = fk_res.com_pos[:, None, :] - anch[None, :, :]  # (nb, nv, 3)
+    crossed = jnp.cross(jnp.broadcast_to(ax[None], rel.shape), rel)
+    axb = jnp.broadcast_to(ax[None], rel.shape)
+    Jv_cols = (w_rev * crossed + (1.0 - w_rev) * axb) * reach
+    Jw_cols = (w_rev * axb) * reach
+    Jv = jnp.swapaxes(Jv_cols, 1, 2)  # (nb, 3, nv)
+    Jw_world = jnp.swapaxes(Jw_cols, 1, 2)
+    R_body = rot.q_to_matrix(fk_res.body_quat)  # (nb, 3, 3)
+    Jw = jnp.einsum("bij,bik->bjk", R_body, Jw_world)
+    return Jv, Jw
+
+
 def config_rate(spec: ChainSpec, q: jax.Array, v: jax.Array) -> jax.Array:
     """dq/dt from generalized velocity (quaternion rate for a free base,
     ref: manipulator_model.cpp:301-344 quaternion-rate packing)."""
@@ -213,6 +302,18 @@ def _passive_joint_force(spec: ChainSpec, q: jax.Array, qd: jax.Array) -> jax.Ar
     """
     dtype = q.dtype
     nv = spec.nv
+    idx = [i for i, t in enumerate(spec.joint_types)
+           if JointType(t) in (REVOLUTE, PRISMATIC)]
+    smooth = all(
+        spec.backlash[i] == 0.0 and spec.stiction_coef[i] == 0.0
+        and spec.slip_coef[i] == 0.0 for i in idx
+    )
+    if smooth and not spec.has_free_base and len(idx) == nv:
+        # vectorized spring/damper path (no deadband/friction): one fused op
+        k = jnp.asarray(np.asarray(spec.stiffness)[idx], dtype)
+        d = jnp.asarray(np.asarray(spec.damping)[idx], dtype)
+        rq = jnp.asarray(np.asarray(spec.rest_q)[idx], dtype)
+        return -k * (q - rq) - d * qd
     f = jnp.zeros(nv, dtype)
     for i, jt in enumerate(spec.joint_types):
         jt = JointType(jt)

@@ -267,3 +267,66 @@ def test_prismatic_chain():
     qdd = kte.forward_dynamics(spec, q, qd)
     # z acceleration = -g (free fall of the vertical axis, no spring)
     np.testing.assert_allclose(qdd[2], -9.81, atol=1e-9)
+
+
+def test_scan_fk_matches_unrolled():
+    """The scan-form FK/Jacobian path (long chains) must agree with the
+    unrolled sweep bit-for-bit in semantics (mixed rev/prismatic, offsets)."""
+    from reak_tpu.kte import dynamics as dyn
+    from reak_tpu.kte.spec import ChainSpec, REVOLUTE, PRISMATIC, FIXED
+
+    rng = np.random.default_rng(3)
+    n = 10
+    types = [REVOLUTE, PRISMATIC, REVOLUTE, FIXED, REVOLUTE,
+             PRISMATIC, REVOLUTE, REVOLUTE, FIXED, REVOLUTE]
+    axes = rng.normal(size=(n, 3))
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    offs = rng.normal(size=(n, 3)) * 0.3
+    com = rng.normal(size=(n, 3)) * 0.1
+    inert = np.tile(np.eye(3) * 1e-2, (n, 1, 1))
+    spec = ChainSpec.build(
+        joint_types=types, axes=axes, offsets_pos=offs, com_pos=com,
+        masses=rng.uniform(0.5, 2.0, n), inertias=inert,
+    )
+    nv = spec.nv
+    q = jnp.asarray(rng.normal(size=nv) * 0.5)
+    qd = jnp.asarray(rng.normal(size=nv))
+
+    r_scan = dyn._fk_scan(spec, q)     # forced scan path
+    # force the unrolled path by calling through a spec below the threshold:
+    # replicate by slicing is invasive — instead compare against the generic
+    # column loop on the same FkResult plus an independent unrolled FK.
+    dtype = q.dtype
+    c = dyn._spec_const(spec, dtype)
+    import reak_tpu.math.rotations as rot2
+    p = jnp.zeros(3, dtype)
+    Q = rot2.qidentity(dtype)
+    ref_pos = []
+    from reak_tpu.kte.spec import JointType
+    for i, jt in enumerate(spec.joint_types):
+        jt = JointType(jt)
+        p = p + rot2.qrot(Q, c["off_pos"][i])
+        Q = rot2.qmul(Q, c["off_quat"][i])
+        qidx = spec.q_index(i)
+        if jt == REVOLUTE:
+            Q = rot2.qmul(Q, rot2.q_from_axis_angle(c["axes"][i], q[qidx]))
+        elif jt == PRISMATIC:
+            p = p + q[qidx] * rot2.qrot(Q, c["axes"][i])
+        ref_pos.append(p)
+    np.testing.assert_allclose(np.asarray(r_scan.body_pos),
+                               np.asarray(jnp.stack(ref_pos)), atol=1e-12)
+
+    # dynamics terms agree between dispatch paths (scan kicks in at n>=8)
+    M, f = dyn.dynamics_terms(spec, q, qd)
+    # brute-force mass matrix from energy: M = d²T/dqd²
+    def kinetic(qdd_):
+        Jv, Jw = dyn.jacobians(spec, q)
+        v = Jv @ qdd_
+        w = Jw @ qdd_
+        mass = jnp.asarray(np.asarray(spec.masses), dtype)
+        It = jnp.asarray(np.asarray(spec.inertias).reshape(-1, 3, 3), dtype)
+        return 0.5 * jnp.sum(mass * jnp.sum(v * v, -1)) + 0.5 * jnp.einsum(
+            "bi,bij,bj->", w, It, w)
+    M_e = jax.hessian(kinetic)(qd)
+    np.testing.assert_allclose(np.asarray(M), np.asarray(M_e), atol=1e-9)
+    assert bool(jnp.all(jnp.isfinite(f)))

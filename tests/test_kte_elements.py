@@ -41,7 +41,10 @@ class TestBacklash:
 
 class TestFlexibleBeam:
     def test_static_tip_deflection_converges_to_euler_bernoulli(self):
-        """Self-weight cantilever: tip deflection → qL⁴/(8EI)."""
+        """Self-weight cantilever: tip deflection → qL⁴/(8EI) at O(1/n²)
+        (midpoint pseudo-joint placement; ref flexible_beam.hpp:52)."""
+        from reak_tpu.math import rotations as rot
+
         L, m, EI, g = 1.0, 0.5, 30.0, 9.81
         analytic = (m * g / L) * L**4 / (8 * EI)
 
@@ -49,39 +52,39 @@ class TestFlexibleBeam:
             spec = models.flexible_beam(n_segments=n, length=L, mass=m, EI=EI,
                                         gravity=g)
             stiff = jnp.asarray(np.asarray(spec.stiffness))
+            h = L / n
 
             @jax.jit
-            def relax(q0):
+            def solve_static(q0):
+                # fixed point of k q* = τ_gravity(q*) (geometric nonlinearity
+                # is a contraction at these deflections)
                 def step(q, _):
                     tau_g = dynamics.bias_force(spec, q, jnp.zeros(n)) \
-                        + stiff * q  # gravity torque alone (undo spring part)
+                        + stiff * q  # undo the spring part → gravity torque
                     return tau_g / stiff, None
-                # fixed point: k q* = tau_gravity(q*)
-                q, _ = jax.lax.scan(step, q0, None, length=60)
-                return q
+                q, _ = jax.lax.scan(step, q0, None, length=25)
+                r = dynamics.fk(spec, q)
+                tip = r.body_pos[-1] + rot.qrot(
+                    r.body_quat[-1], jnp.array([h / 2, 0.0, 0.0]))
+                return -tip[2]
 
-            q = relax(jnp.zeros(n))
-            r = dynamics.fk(spec, q)
-            # tip = last body origin + half segment along its frame x
-            tip = r.body_pos[-1] + jnp.asarray(
-                np.array([L / n, 0, 0])) @ np.eye(3)  # local ≈ small angles
-            tip = r.body_pos[-1]
-            return float(-(tip[2]))
+            return float(solve_static(jnp.zeros(n)))
 
         d8 = tip_deflection(8)
         d16 = tip_deflection(16)
-        # converging toward analytic from the discrete model
-        assert abs(d16 - analytic) / analytic < 0.2
-        assert abs(d16 - analytic) <= abs(d8 - analytic) + 1e-6
+        assert abs(d16 - analytic) / analytic < 0.05
+        assert abs(d16 - analytic) <= abs(d8 - analytic) + 1e-9
 
     def test_beam_oscillates_and_damps(self):
+        """Release a bent beam: stays finite and rings down (stiff dynamics
+        via the linearly-implicit stepper, systems.semi_implicit_kte)."""
         spec = models.flexible_beam(n_segments=6, length=0.8, mass=0.3,
                                     EI=20.0, gravity=0.0)
         n = 6
         q0 = jnp.full(n, 0.1)  # bent, then released
 
         from reak_tpu.ctrl import systems
-        F = systems.rk4_discrete(systems.kte_continuous(spec), 1e-3)
+        F = systems.semi_implicit_kte(spec, 1e-3)
 
         @jax.jit
         def roll(x0):
@@ -91,8 +94,12 @@ class TestFlexibleBeam:
 
         qs = roll(jnp.concatenate([q0, jnp.zeros(n)]))
         assert bool(jnp.all(jnp.isfinite(qs)))
-        # energy decays: final curvature magnitude below initial
-        assert float(jnp.abs(qs[-1]).max()) < 0.1
+        # it oscillates (sign changes at the tip joint) …
+        tip = np.asarray(qs[:, -1])
+        assert int(np.sum(np.abs(np.diff(np.sign(tip))) > 0)) >= 4
+        # … and material damping rings it down
+        assert float(jnp.abs(qs[-1]).max()) < 0.02
+        assert float(jnp.abs(qs[-1]).max()) < 0.2 * float(jnp.abs(qs[0]).max())
 
 
 class TestTaskForces:
