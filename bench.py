@@ -16,6 +16,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: cold SoA-rollout compiles take minutes on the
+# tunneled TPU; warm runs hit the cache
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 
 def main():
     from reak_tpu.kte import models

@@ -178,11 +178,15 @@ int main(int argc, char** argv) {
     double mu = 0;
     for (int64_t i = 0; i < N; ++i) {
       grad[i] += g[i];
-      sl[i] = u[i] - LB[i];
-      su[i] = UB[i] - u[i];
+      // floor the slacks: near convergence an active coordinate's slack can
+      // underflow to exactly 0 after a unit step, and 1/sl would poison the
+      // next KKT system with inf/NaN
+      sl[i] = std::fmax(u[i] - LB[i], 1e-14);
+      su[i] = std::fmax(UB[i] - u[i], 1e-14);
       mu += sl[i] * zl[i] + su[i] * zu[i];
     }
     mu /= (2.0 * N);
+    if (mu < 1e-13) break;  // converged: complementarity at solver precision
     double sigma = 0.1;
     // KKT: (Hqp + Zl/Sl + Zu/Su) du = -(grad - zl + zu)
     //       + (sigma mu)(1/sl - 1/su)

@@ -21,20 +21,23 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from reak_tpu.math.linalg import small_chol_solve
+from reak_tpu.ops.chol_lanes import chol_solve_auto
 
 
 class LQRBackward(NamedTuple):
     Ks: jax.Array  # (H, m, n) feedback gains
     Fs: jax.Array  # (H, m, n) cached B'V A
     Gs: jax.Array  # (H, m, m) cached input-space Schur complements
-    BtVc_v: jax.Array  # unused placeholder for API stability
 
 
 def lqr_backward(A_seq, B_seq, Q, QN, R_seq):
     """Matrix backward Riccati pass for the LTV problem with per-step input
     cost R_seq (H, m, m).  Returns gains and cached per-step matrices so
-    multiple right-hand sides can be solved with vector-only passes."""
+    multiple right-hand sides can be solved with vector-only passes.
+
+    The m×m Schur-complement solves dispatch through ``chol_solve_auto``:
+    under the scenario-batch vmap of make_kte_mpc they run in the Pallas
+    batch-in-lanes kernel on TPU (ops/chol_lanes.py)."""
     H = A_seq.shape[0]
 
     def body(V, inp):
@@ -42,7 +45,7 @@ def lqr_backward(A_seq, B_seq, Q, QN, R_seq):
         VB = V @ Bt  # (n, m)
         G = Rt + Bt.T @ VB  # (m, m)
         F = VB.T @ At  # (m, n) = B'V A
-        K = small_chol_solve(G, F)  # (m, n)
+        K = chol_solve_auto(G, F)  # (m, n)
         Vn = Q + At.T @ V @ At - F.T @ K
         Vn = 0.5 * (Vn + Vn.T)
         return Vn, (K, F, G)
@@ -53,7 +56,7 @@ def lqr_backward(A_seq, B_seq, Q, QN, R_seq):
     _, (Ks, Fs, Gs) = jax.lax.scan(
         body, V0, (A_seq[::-1], B_seq[::-1], R_seq[::-1])
     )
-    return LQRBackward(Ks=Ks[::-1], Fs=Fs[::-1], Gs=Gs[::-1], BtVc_v=jnp.zeros(()))
+    return LQRBackward(Ks=Ks[::-1], Fs=Fs[::-1], Gs=Gs[::-1])
 
 
 def lqr_solve_rhs(bw: LQRBackward, A_seq, B_seq, r_seq, x0):
@@ -71,7 +74,7 @@ def lqr_solve_rhs(bw: LQRBackward, A_seq, B_seq, r_seq, x0):
     def backward(v, inp):
         At, Bt, rt, K, G = inp
         w = rt + Bt.T @ v  # (m,)
-        k = small_chol_solve(G, w)
+        k = chol_solve_auto(G, w[..., None])[..., 0]
         vn = At.T @ v - K.T @ w
         return vn, k
 

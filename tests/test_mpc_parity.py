@@ -110,3 +110,55 @@ def test_condensed_pdip_matches_cpp_oracle(tmp_path):
     u_jax = np.asarray(res.x).reshape(8, 2)
     err = float(np.abs(u_jax - u_cpp).max())
     assert err <= 1e-4, f"condensed parity {err:.2e} > 1e-4"
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _flagship_ltv_batch():
+    """One SQP iteration's LTV data for the FLAGSHIP config: 6-DoF 3R3R arm,
+    H=50, dt=0.01, on a batch of 8 x0 drawn from the bench.py distribution
+    (rng seed 0).  Cached: the SoA rollout compile is minutes on CPU and is
+    shared by the parity and bench-accuracy tests."""
+    from reak_tpu.kte import models, soa
+
+    spec = models.manip_3r3r()
+    roll = soa.make_rollout_ltv_soa(spec, 0.01, 50)
+    rng = np.random.default_rng(0)
+    x0 = np.concatenate(
+        [rng.uniform(-0.5, 0.5, (8, 6)), rng.uniform(-0.2, 0.2, (8, 6))], axis=1)
+    us = jnp.zeros((8, 50, 6))
+    A, B, c, _ = roll(jnp.asarray(x0), us)
+    return np.asarray(A), np.asarray(B), np.asarray(c), x0
+
+
+FLAGSHIP_Q = np.diag(np.concatenate([np.full(6, 10.0), np.full(6, 1.0)]))
+FLAGSHIP_QN = np.diag(np.concatenate([np.full(6, 50.0), np.full(6, 5.0)]))
+FLAGSHIP_R = np.eye(6) * 0.05
+
+
+@pytest.mark.slow
+def test_flagship_6dof_h50_parity_vs_cpp_oracle(tmp_path):
+    """BASELINE.md headline parity: 6-DoF KTE arm, H=50, <=1e-4 max control
+    error vs the independent C++ solve, with ACTIVE box constraints."""
+    from reak_tpu.ctrl.riccati import solve_box_mpc_riccati
+
+    A_b, B_b, c_b, x0_b = _flagship_ltv_batch()
+    A, B, c, x0 = A_b[0], B_b[0], c_b[0], x0_b[0]
+    lb = np.full(6, -6.0)   # ~55% of the unconstrained |u|max:
+    ub = np.full(6, 6.0)    # 24 actively-constrained entries on this instance
+    u_cpp = _solve_oracle(tmp_path, A, B, c, x0,
+                          FLAGSHIP_Q, FLAGSHIP_QN, FLAGSHIP_R, lb, ub)
+    assert np.all(np.isfinite(u_cpp))
+
+    u_jax, _ = solve_box_mpc_riccati(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(c),
+        jnp.asarray(FLAGSHIP_Q), jnp.asarray(FLAGSHIP_QN),
+        jnp.asarray(FLAGSHIP_R), jnp.asarray(x0),
+        jnp.asarray(lb), jnp.asarray(ub), iters=30)
+    err = float(np.abs(np.asarray(u_jax) - u_cpp).max())
+    assert err <= 1e-4, f"flagship control parity {err:.2e} > 1e-4"
+    active = np.sum((np.abs(u_cpp - lb[None, :]) < 1e-6)
+                    | (np.abs(u_cpp - ub[None, :]) < 1e-6))
+    assert active > 0, "no active box constraints — weak test instance"
