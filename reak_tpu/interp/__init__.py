@@ -17,9 +17,15 @@ from reak_tpu.interp.hermite import (
 )
 from reak_tpu.interp.pulses import (
     svp_min_time,
+    svp_peak_velocity,
     svp_eval,
+    svp_interpolate,
+    svp_reach_time,
     sap_min_time,
+    sap_peak_velocity,
     sap_eval,
+    sap_interpolate,
+    sap_reach_time,
 )
 from reak_tpu.interp.trajectory import (
     Trajectory,
@@ -34,9 +40,15 @@ __all__ = [
     "cubic_hermite_interp",
     "quintic_hermite_interp",
     "svp_min_time",
+    "svp_peak_velocity",
     "svp_eval",
+    "svp_interpolate",
+    "svp_reach_time",
     "sap_min_time",
+    "sap_peak_velocity",
     "sap_eval",
+    "sap_interpolate",
+    "sap_reach_time",
     "Trajectory",
     "waypoint_trajectory",
     "constant_trajectory",

@@ -19,9 +19,22 @@ thousands of distance/steer evaluations per device call.
 from reak_tpu.spaces.base import Space, ProductSpace
 from reak_tpu.spaces.vector import HyperboxSpace, HyperballSpace, NdofSpace, LineSpace
 from reak_tpu.spaces.so3 import SO3Space
-from reak_tpu.spaces.se3 import SE3Space
+from reak_tpu.spaces.se3 import (
+    SE3Space,
+    SE31stOrderSpace,
+    SE32ndOrderSpace,
+    make_se3_space,
+)
 from reak_tpu.spaces.temporal import TemporalSpace
 from reak_tpu.spaces.rate_limited import RateLimitedNdofSpace, joint_limits_mapping
+from reak_tpu.spaces.tangent import (
+    Ndof1stOrderSpace,
+    Ndof2ndOrderSpace,
+    NdofPoint1,
+    NdofPoint2,
+    ReachabilitySpace,
+    make_ndof_space,
+)
 
 __all__ = [
     "Space",
@@ -32,7 +45,16 @@ __all__ = [
     "LineSpace",
     "SO3Space",
     "SE3Space",
+    "SE31stOrderSpace",
+    "SE32ndOrderSpace",
+    "make_se3_space",
     "TemporalSpace",
     "RateLimitedNdofSpace",
     "joint_limits_mapping",
+    "Ndof1stOrderSpace",
+    "Ndof2ndOrderSpace",
+    "NdofPoint1",
+    "NdofPoint2",
+    "ReachabilitySpace",
+    "make_ndof_space",
 ]

@@ -120,32 +120,34 @@ def test_quintic_derivative_consistency(rng):
 
 
 def test_sap_profile(rng):
+    # synchronized rest-to-rest S-curve: endpoints exact, limits respected
     p0 = jnp.array([0.0, 0.0])
     p1 = jnp.array([2.0, -0.5])
     v_max = jnp.array([1.0, 1.0])
     a_max = jnp.array([2.0, 2.0])
-    T = ip.sap_min_time(p0, p1, v_max, a_max)
-    # joint 0: Δ=2 ≥ v²/a=0.5 → T = 2/1 + 1/2 = 2.5
-    np.testing.assert_allclose(T, 2.5, atol=1e-9)
-    pos, vel, acc = ip.sap_eval(p0, p1, v_max, a_max, T, jnp.asarray(float(T)))
-    np.testing.assert_allclose(pos, p1, atol=1e-6)
-    np.testing.assert_allclose(vel, 0.0, atol=1e-6)
-    pos0, vel0, _ = ip.sap_eval(p0, p1, v_max, a_max, T, 0.0)
-    np.testing.assert_allclose(pos0, p0, atol=1e-9)
-    # velocity limit respected along the trajectory
-    ts = jnp.linspace(0.0, float(T), 101)
-    pos_s, vel_s, _ = ip.sap_eval(p0, p1, v_max, a_max, T, ts)
+    v0 = jnp.zeros(2)
+    pos, vel, acc, T = ip.sap_interpolate(p0, v0, p1, v0, v_max, a_max, 0.0)
+    np.testing.assert_allclose(pos, p0, atol=1e-9)
+    posT, velT, _, _ = ip.sap_interpolate(p0, v0, p1, v0, v_max, a_max, T)
+    np.testing.assert_allclose(posT, p1, atol=5e-3)
+    np.testing.assert_allclose(velT, 0.0, atol=1e-6)
+    ts = jnp.linspace(0.0, float(T), 101)[:, None]
+    pos_s, vel_s, _, _ = ip.sap_interpolate(p0, v0, p1, v0, v_max, a_max, ts)
     assert float(jnp.max(jnp.abs(vel_s))) <= 1.0 + 1e-6
-    # position is monotone for joint 0
-    assert bool(jnp.all(jnp.diff(pos_s[:, 0]) >= -1e-9))
+    assert bool(jnp.all(jnp.diff(pos_s[:, 0]) >= -1e-9))  # joint 0 monotone
 
 
 def test_svp(rng):
+    # rest-to-rest with ramps: joint 1 moves 1 rad at vmax=0.5 (a_ramp=vmax)
     p0, p1 = jnp.array([0.0, 1.0]), jnp.array([1.0, 0.0])
     v_max = jnp.array([2.0, 0.5])
-    T = ip.svp_min_time(p0, p1, v_max)
-    np.testing.assert_allclose(T, 2.0, atol=1e-12)  # joint 1: 1/0.5
-    pos, vel = ip.svp_eval(p0, p1, v_max, T, jnp.asarray(1.0))
+    v0 = jnp.zeros(2)
+    T_j, vp = ip.svp_min_time(p0, p1, v0, v0, v_max)
+    # joint 1: ramps cover 0.5·vmax·(2·1s) = 0.5 rad, cruise 0.5/0.5 = 1 s → 3 s
+    np.testing.assert_allclose(T_j[1], 3.0, atol=1e-9)
+    T = jnp.max(T_j)
+    pos, vel, _ = ip.svp_interpolate(p0, v0, p1, v0, v_max, 0.5 * T)
+    # symmetric profile: halfway in time = halfway in distance
     np.testing.assert_allclose(pos, 0.5 * (p0 + p1), atol=1e-9)
 
 

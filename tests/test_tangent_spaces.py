@@ -1,0 +1,156 @@
+"""Order-1/2 tangent-bundle spaces + reachability space tests.
+
+(parity model: ref differentiable_space.hpp:220, Ndof_spaces.hpp,
+se3_topologies.hpp:384, reachability_space.hpp:180,237)
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import reak_tpu.spaces as sp
+from reak_tpu.spaces.temporal import TemporalPoint
+
+
+def _ndof1():
+    return sp.Ndof1stOrderSpace(
+        lower=jnp.array([-2.0, -1.0]),
+        upper=jnp.array([2.0, 1.0]),
+        speed=jnp.array([1.0, 0.5]),
+    )
+
+
+class TestNdof1stOrder:
+    def test_sample_within_limits(self):
+        s = _ndof1()
+        p = s.sample(jax.random.PRNGKey(0), (200,))
+        assert bool(jnp.all(jnp.abs(p.qd) <= s.speed + 1e-9))
+        assert bool(jnp.all((p.q >= s.lower) & (p.q <= s.upper)))
+
+    def test_distance_is_reach_time(self):
+        s = _ndof1()
+        # rest-to-rest joint 0 move of 1 rad at vmax=1 (ramp=vmax):
+        # triangular profile T = 2 s
+        a = sp.NdofPoint1(jnp.array([0.0, 0.0]), jnp.zeros(2))
+        b = sp.NdofPoint1(jnp.array([1.0, 0.0]), jnp.zeros(2))
+        np.testing.assert_allclose(s.distance(a, b), 2.0, atol=1e-9)
+
+    def test_interpolate_endpoints_and_continuity(self):
+        s = _ndof1()
+        key = jax.random.PRNGKey(1)
+        a = s.clamp(s.sample(key))
+        b = s.clamp(s.sample(jax.random.PRNGKey(2)))
+        p0 = s.interpolate(a, b, 0.0)
+        p1 = s.interpolate(a, b, 1.0)
+        np.testing.assert_allclose(p0.q, a.q, atol=1e-8)
+        np.testing.assert_allclose(p0.qd, a.qd, atol=1e-8)
+        np.testing.assert_allclose(p1.q, b.q, atol=1e-6)
+        np.testing.assert_allclose(p1.qd, b.qd, atol=1e-7)
+        # interior points respect the speed limit (the whole point of SVP)
+        for t in np.linspace(0.05, 0.95, 10):
+            pm = s.interpolate(a, b, float(t))
+            assert bool(jnp.all(jnp.abs(pm.qd) <= s.speed + 1e-6))
+
+
+class TestNdof2ndOrder:
+    def test_interpolate_respects_accel_limit(self):
+        s = sp.Ndof2ndOrderSpace(
+            lower=jnp.array([-3.0]),
+            upper=jnp.array([3.0]),
+            speed=jnp.array([1.0]),
+            accel=jnp.array([2.0]),
+        )
+        a = sp.NdofPoint2(jnp.array([0.0]), jnp.array([0.3]), jnp.zeros(1))
+        b = sp.NdofPoint2(jnp.array([2.0]), jnp.array([-0.2]), jnp.zeros(1))
+        assert float(s.distance(a, b)) > 0
+        for t in np.linspace(0.0, 1.0, 21):
+            pm = s.interpolate(a, b, float(t))
+            assert bool(jnp.all(jnp.abs(pm.qd) <= s.speed + 1e-6))
+            assert bool(jnp.all(jnp.abs(pm.qdd) <= s.accel + 1e-6))
+        pT = s.interpolate(a, b, 1.0)
+        np.testing.assert_allclose(pT.q, b.q, atol=5e-3)
+        np.testing.assert_allclose(pT.qd, b.qd, atol=1e-6)
+
+    def test_factory_order_dispatch(self):
+        lo, hi = jnp.zeros(2), jnp.ones(2)
+        assert sp.make_ndof_space(lo, hi).dim == 2
+        assert isinstance(
+            sp.make_ndof_space(lo, hi, speed=jnp.ones(2)), sp.Ndof1stOrderSpace
+        )
+        assert isinstance(
+            sp.make_ndof_space(lo, hi, speed=jnp.ones(2), accel=jnp.ones(2)),
+            sp.Ndof2ndOrderSpace,
+        )
+
+
+class TestReachability:
+    def test_reachable_distance(self):
+        base = sp.RateLimitedNdofSpace(
+            sp.rate_limited.JointLimits(
+                lower=jnp.array([-5.0]), upper=jnp.array([5.0]), speed=jnp.array([1.0])
+            )
+        )
+        rs = sp.ReachabilitySpace(base, t_max=10.0)
+        a = TemporalPoint(jnp.asarray(1.0), jnp.array([0.0]))
+        # 1 rad away (1 s of travel), 2 s later → reachable, d = Δt + reach
+        b = TemporalPoint(jnp.asarray(3.0), jnp.array([1.0]))
+        np.testing.assert_allclose(rs.distance(a, b), 3.0, atol=1e-9)
+        # symmetric direction also finite (metric, not quasi-metric)
+        np.testing.assert_allclose(rs.distance(b, a), 3.0, atol=1e-9)
+        # 3 rad away but only 1 s later in either direction → unreachable
+        c = TemporalPoint(jnp.asarray(2.0), jnp.array([3.0]))
+        assert np.isinf(float(rs.distance(a, c)))
+        # reach_plus_time is directed
+        assert np.isfinite(float(rs.reach_plus_time(a, b)))
+        assert np.isinf(float(rs.reach_plus_time(b, a)))
+
+    def test_reach_norms(self):
+        base = sp.RateLimitedNdofSpace(
+            sp.rate_limited.JointLimits(
+                lower=jnp.array([-5.0]), upper=jnp.array([5.0]), speed=jnp.array([1.0])
+            )
+        )
+        org = TemporalPoint(jnp.asarray(0.0), jnp.array([0.0]))
+        rs = sp.ReachabilitySpace(base, t_max=10.0, origin=org)
+        p = TemporalPoint(jnp.asarray(4.0), jnp.array([1.0]))
+        np.testing.assert_allclose(rs.forward_reach(p), 5.0, atol=1e-9)
+        np.testing.assert_allclose(rs.backward_reach(p), 3.0, atol=1e-9)
+
+
+class TestSE3Orders:
+    def test_first_order_roundtrip(self):
+        s = sp.SE31stOrderSpace(
+            pos_lower=jnp.array([-1.0, -1.0, -1.0]),
+            pos_upper=jnp.array([1.0, 1.0, 1.0]),
+            max_speed=2.0,
+            max_ang_speed=1.0,
+        )
+        a = s.sample(jax.random.PRNGKey(0))
+        b = s.sample(jax.random.PRNGKey(1))
+        assert float(jnp.linalg.norm(a.vel)) <= 2.0 + 1e-9
+        assert float(jnp.linalg.norm(a.omega)) <= 1.0 + 1e-9
+        d = s.distance(a, b)
+        assert np.isfinite(float(d)) and float(d) >= 0
+        np.testing.assert_allclose(s.distance(a, a), 0.0, atol=1e-9)
+        mid = s.interpolate(a, b, 1.0)
+        np.testing.assert_allclose(mid.pos, b.pos, atol=1e-9)
+        np.testing.assert_allclose(jnp.abs(jnp.sum(mid.quat * b.quat)), 1.0, atol=1e-9)
+        np.testing.assert_allclose(mid.vel, b.vel, atol=1e-9)
+
+    def test_second_order_and_factory(self):
+        s = sp.make_se3_space(
+            jnp.zeros(3),
+            jnp.ones(3),
+            order=2,
+            max_speed=1.0,
+            max_ang_speed=1.0,
+            max_acc=3.0,
+            max_ang_acc=2.0,
+        )
+        assert isinstance(s, sp.SE32ndOrderSpace)
+        a = s.sample(jax.random.PRNGKey(2), (8,))
+        assert a.acc.shape == (8, 3)
+        assert bool(jnp.all(jnp.linalg.norm(a.acc, axis=-1) <= 3.0 + 1e-9))
+        d = s.distance(a, a)
+        np.testing.assert_allclose(d, 0.0, atol=1e-9)
+        clamped = s.clamp(a)
+        np.testing.assert_allclose(clamped.quat, a.quat, atol=1e-9)
