@@ -26,7 +26,8 @@ import numpy as np
 
 from reak_tpu.io.config import config_from_args
 from reak_tpu.kte import models, ik
-from reak_tpu.geom.shapes import Sphere, Box, ShapeSet
+from reak_tpu.geom.shapes import Sphere, Plane, ShapeSet
+from reak_tpu.geom.proximity import ProxyModel
 import reak_tpu.planning as pl
 import reak_tpu.spaces.vector as sp
 from reak_tpu.planning.queries import PlanningQuery
@@ -38,31 +39,37 @@ DEFAULTS = dict(
 )
 
 
+def chain_capsules(spec, radius=0.05):
+    """Chain-anchored collision capsules: one per body, spanning that body's
+    frame origin to the next joint's offset (the reference's
+    kte_chain_geometry_3D shape anchoring, kte_chain_geometry.hpp:101)."""
+    n = len(spec.joint_types)
+    offs = np.asarray(spec.offsets_pos, float)  # (n, 3): joint i in frame i-1
+    ends = np.vstack([offs[1:], [[0.0, 0.0, 0.06]]])  # tool stub on last body
+    from reak_tpu.geom.shapes import Capsule
+
+    caps = Capsule(jnp.zeros((n, 3)), jnp.asarray(ends), jnp.full(n, radius))
+    return ShapeSet(capsules=caps, capsule_body=jnp.arange(n))
+
+
 def build_scene():
-    """3R3R arm + one spherical obstacle in the workspace — a miniature of the
-    reference's chaser_target .rkx scenes (chaser_target_model_data.hpp:65)."""
+    """3R3R arm with chain-anchored capsule geometry vs a sphere obstacle +
+    floor plane — a miniature of the reference's chaser_target .rkx scenes
+    (chaser_target_model_data.hpp:65), checked through the REAL proximity
+    stack (ChainWorkspace → proxy_query)."""
     spec = models.manip_3r3r()
     lo = jnp.full(6, -2.8)
     hi = jnp.full(6, 2.8)
     space = sp.NdofSpace(lo, hi)
 
-    obstacle = jnp.array([0.35, 0.0, 0.55])   # sphere center
-    radius = 0.18
-
-    from reak_tpu.kte import dynamics
-
-    def is_free(qs):
-        """Joint configs are free when every link frame origin clears the
-        obstacle (coarse link-point proxy model)."""
-        def one(q):
-            r = dynamics.fk(spec, q)
-            d = jnp.linalg.norm(r.body_pos - obstacle[None, :], axis=-1)
-            return jnp.all(d > radius + 0.05)
-        return jax.vmap(one)(qs)
-
-    ws = pl.Workspace(space, is_free, n_checks=12)
+    robot = chain_capsules(spec)
+    env = ProxyModel(
+        spheres=Sphere(jnp.array([[0.35, 0.0, 0.55]]), jnp.array([0.18])),
+        planes=Plane(jnp.array([[0.0, 0.0, 1.0]]), jnp.array([-0.12])),
+    )
+    ws = pl.ChainWorkspace(space, spec, robot, env, margin=0.01, n_checks=12)
     q_start = jnp.zeros(6)
-    # goal: IK to a pose on the far side of the obstacle
+    # goal: a posture on the far side of the obstacle
     q_goal = jnp.asarray([0.9, -0.5, 0.9, 0.2, 0.5, -0.1])
     return spec, ws, PlanningQuery(np.asarray(q_start), np.asarray(q_goal),
                                    goal_tolerance=0.3)

@@ -29,7 +29,14 @@ from reak_tpu.geom.proximity import (
     dist_capsule_box,
     dist_capsule_plane,
     dist_box_plane,
+    dist_box_box,
     dist_point_box,
+    dist_point_cylinder,
+    dist_sphere_cylinder,
+    dist_cylinder_plane,
+    dist_cylinder_cylinder,
+    dist_cylinder_box,
+    dist_cylinder_capsule,
     dist_segment_segment,
     proxy_query,
     ProxyModel,
@@ -51,7 +58,14 @@ __all__ = [
     "dist_capsule_box",
     "dist_capsule_plane",
     "dist_box_plane",
+    "dist_box_box",
     "dist_point_box",
+    "dist_point_cylinder",
+    "dist_sphere_cylinder",
+    "dist_cylinder_plane",
+    "dist_cylinder_cylinder",
+    "dist_cylinder_box",
+    "dist_cylinder_capsule",
     "dist_segment_segment",
     "proxy_query",
     "ProxyModel",

@@ -1,12 +1,16 @@
-"""Closed-form pairwise distance kernels, batched.
+"""Pairwise distance kernels + aggregate proxy-query dispatch, batched.
 
 (ref: geometry/proximity/prox_sphere_sphere.cpp, prox_sphere_box.cpp,
-prox_ccylinder_ccylinder.cpp, prox_plane_*.cpp, … — ~20 pair TUs; aggregate
-dispatch proxy_query_model.hpp:51-196)
+prox_ccylinder_ccylinder.cpp, prox_plane_*.cpp, … — ~20 pair TUs; NLP
+fallback for the hard convex pairs prox_fundamentals_3D.hpp:57-264;
+aggregate dispatch proxy_query_model.hpp:51-196)
 
-Every function returns SIGNED distance (negative = penetration), broadcasting
-over leading batch axes.  ``proxy_query`` evaluates all registered pairs of
-two ProxyModels in one fused batch — the planner collision inner loop.
+Closed-form kernels return SIGNED distance (negative = penetration).  The
+"hard" convex pairs (box-box, cylinder-anything, capsule-box) dispatch to the
+alternating-projection solver in :mod:`reak_tpu.geom.convex` — exact for
+separated shapes, 0 on contact/penetration.  Everything broadcasts over
+leading batch axes; ``proxy_query`` evaluates ALL registered pairs of two
+ProxyModels in one fused batch — the planner collision inner loop.
 """
 from __future__ import annotations
 
@@ -16,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from reak_tpu.math import rotations as rot
-from reak_tpu.geom.shapes import Sphere, Capsule, Box, Plane, ShapeSet
+from reak_tpu.geom.shapes import Sphere, Capsule, Box, Cylinder, Plane, ShapeSet
+from reak_tpu.geom.convex import convex_pair
 
 
 # ---------------------------------------------------------------------------
@@ -99,16 +104,11 @@ def dist_capsule_plane(c: Capsule, p: Plane):
     return jnp.minimum(da, db) - c.radius
 
 
-def dist_capsule_box(c: Capsule, b: Box, n_samples: int = 8):
-    """Capsule↔box via segment sampling (conservative closed-form bound; the
-    reference's exact pair uses an iterative NLP fallback,
-    prox_fundamentals_3D.hpp:57 — sampled SDF minimum is the batched analog)."""
-    ts = jnp.linspace(0.0, 1.0, n_samples)
-    pts = c.a[..., None, :] + ts[:, None] * (c.b - c.a)[..., None, :]
-    # broadcast box against the sample axis
-    bb = Box(b.center[..., None, :], b.quat[..., None, :], b.half_extents[..., None, :])
-    d = dist_point_box(pts, bb)
-    return jnp.min(d, axis=-1) - c.radius
+def dist_capsule_box(c: Capsule, b: Box, iters: int = 60):
+    """Exact capsule↔box via the alternating-projection convex solver (the
+    reference's pair needs an iterative NLP fallback,
+    prox_fundamentals_3D.hpp:57).  ≥ 0; returns 0 on contact/penetration."""
+    return convex_pair(c, b, iters).distance
 
 
 def dist_box_plane(b: Box, p: Plane):
@@ -118,6 +118,63 @@ def dist_box_plane(b: Box, p: Plane):
     r = jnp.sum(jnp.abs(jnp.einsum("...ij,...i->...j", R, p.normal)) * b.half_extents, axis=-1)
     dc = jnp.sum(b.center * p.normal, axis=-1) - p.offset
     return dc - r
+
+
+def dist_box_box(b1: Box, b2: Box, iters: int = 60):
+    """Box↔box via the convex solver (ref: NLP fallback,
+    prox_fundamentals_3D.hpp:57-264)."""
+    return convex_pair(b1, b2, iters).distance
+
+
+def dist_point_cylinder(p, c: Cylinder):
+    """Signed distance point ↔ solid flat-capped cylinder."""
+    axis = c.b - c.a
+    L = jnp.linalg.norm(axis, axis=-1)
+    u = axis / jnp.maximum(L, 1e-12)[..., None]
+    w = p - c.a
+    t = jnp.sum(w * u, axis=-1)
+    radial = w - t[..., None] * u
+    r = jnp.linalg.norm(radial, axis=-1)
+    dr = r - c.radius  # >0 outside the side wall
+    dt = jnp.maximum(-t, t - L)  # >0 beyond a cap
+    outside = jnp.linalg.norm(
+        jnp.stack([jnp.maximum(dr, 0.0), jnp.maximum(dt, 0.0)], axis=-1), axis=-1
+    )
+    inside = jnp.minimum(jnp.maximum(dr, dt), 0.0)
+    return outside + inside
+
+
+def dist_sphere_cylinder(s: Sphere, c: Cylinder):
+    """(ref: prox_sphere_cylinder.cpp — exact flat caps)"""
+    return dist_point_cylinder(s.center, c) - s.radius
+
+
+def dist_cylinder_plane(c: Cylinder, p: Plane):
+    """Signed distance cylinder ↔ plane: support of the nearer cap rim along
+    −n (ref: prox_plane_cylinder.cpp)."""
+    axis = c.b - c.a
+    L = jnp.linalg.norm(axis, axis=-1)
+    u = axis / jnp.maximum(L, 1e-12)[..., None]
+    cosn = jnp.sum(u * p.normal, axis=-1)
+    rim_drop = c.radius * jnp.sqrt(jnp.maximum(1.0 - cosn * cosn, 0.0))
+    da = jnp.sum(c.a * p.normal, axis=-1) - p.offset - rim_drop
+    db = jnp.sum(c.b * p.normal, axis=-1) - p.offset - rim_drop
+    return jnp.minimum(da, db)
+
+
+def dist_cylinder_cylinder(c1: Cylinder, c2: Cylinder, iters: int = 60):
+    """(ref: prox_cylinder_cylinder — exact flat caps via convex solver)"""
+    return convex_pair(c1, c2, iters).distance
+
+
+def dist_cylinder_box(c: Cylinder, b: Box, iters: int = 60):
+    """(ref: prox_cylinder_box via NLP fallback)"""
+    return convex_pair(c, b, iters).distance
+
+
+def dist_cylinder_capsule(c: Cylinder, cap: Capsule, iters: int = 60):
+    """Exact cylinder↔capsule via the convex solver."""
+    return convex_pair(c, cap, iters).distance
 
 
 # ---------------------------------------------------------------------------
@@ -133,6 +190,7 @@ class ProxyModel(NamedTuple):
     capsules: Optional[Capsule] = None  # (nc, …)
     boxes: Optional[Box] = None  # (nb, …)
     planes: Optional[Plane] = None  # (np, …)
+    cylinders: Optional[Cylinder] = None  # (ncy, …)
 
 
 def _pairwise(fn, A, B):
@@ -166,12 +224,32 @@ def proxy_query(m1: ProxyModel, m2: ProxyModel):
         add(_pairwise(dist_capsule_box, m1.capsules, m2.boxes))
     if m1.boxes is not None and m2.capsules is not None:
         add(_pairwise(lambda b, c: dist_capsule_box(c, b), m1.boxes, m2.capsules))
+    if m1.boxes is not None and m2.boxes is not None:
+        add(_pairwise(dist_box_box, m1.boxes, m2.boxes))
     if m1.spheres is not None and m2.planes is not None:
         add(_pairwise(dist_sphere_plane, m1.spheres, m2.planes))
     if m1.capsules is not None and m2.planes is not None:
         add(_pairwise(dist_capsule_plane, m1.capsules, m2.planes))
     if m1.boxes is not None and m2.planes is not None:
         add(_pairwise(dist_box_plane, m1.boxes, m2.planes))
+    # exact flat-capped cylinder pairs (ref handles these via its NLP
+    # fallback; here: closed forms + the alternating-projection solver)
+    if m1.cylinders is not None and m2.spheres is not None:
+        add(_pairwise(lambda c, s: dist_sphere_cylinder(s, c), m1.cylinders, m2.spheres))
+    if m1.spheres is not None and m2.cylinders is not None:
+        add(_pairwise(dist_sphere_cylinder, m1.spheres, m2.cylinders))
+    if m1.cylinders is not None and m2.capsules is not None:
+        add(_pairwise(dist_cylinder_capsule, m1.cylinders, m2.capsules))
+    if m1.capsules is not None and m2.cylinders is not None:
+        add(_pairwise(lambda cp, cy: dist_cylinder_capsule(cy, cp), m1.capsules, m2.cylinders))
+    if m1.cylinders is not None and m2.boxes is not None:
+        add(_pairwise(dist_cylinder_box, m1.cylinders, m2.boxes))
+    if m1.boxes is not None and m2.cylinders is not None:
+        add(_pairwise(lambda b, cy: dist_cylinder_box(cy, b), m1.boxes, m2.cylinders))
+    if m1.cylinders is not None and m2.cylinders is not None:
+        add(_pairwise(dist_cylinder_cylinder, m1.cylinders, m2.cylinders))
+    if m1.cylinders is not None and m2.planes is not None:
+        add(_pairwise(dist_cylinder_plane, m1.cylinders, m2.planes))
     if not dists:
         return jnp.asarray(jnp.inf)
     return jnp.min(jnp.stack(dists))

@@ -5,10 +5,10 @@ plane.hpp, rectangle.hpp, circle.hpp, composite_shape*.hpp, colored_model.hpp)
 
 Each shape is a NamedTuple of arrays; leading batch axes everywhere, so a
 "composite model" is just a batched shape record (the reference's
-composite_shape / colored_model lists collapse into stacking).  Cylinders are
-approximated by capsules for proximity (conservative, standard in planning);
-the exact-cylinder pair math of the reference is an NLP fallback there too
-(prox_fundamentals_3D.hpp:57).
+composite_shape / colored_model lists collapse into stacking).  Cylinder
+pairs get EXACT flat-cap distances via the alternating-projection solver in
+``geom.convex`` (the reference handles these pairs with an NLP fallback,
+prox_fundamentals_3D.hpp:57).
 """
 from __future__ import annotations
 
@@ -36,7 +36,7 @@ class Capsule(NamedTuple):
 
 
 class Cylinder(NamedTuple):
-    """(ref: cylinder.hpp) — stored exactly; proximity treats it as a capsule."""
+    """(ref: cylinder.hpp) — exact flat-capped cylinder."""
 
     a: jax.Array
     b: jax.Array
@@ -72,9 +72,11 @@ class ShapeSet(NamedTuple):
     spheres: Optional[Sphere] = None
     capsules: Optional[Capsule] = None
     boxes: Optional[Box] = None
+    cylinders: Optional[Cylinder] = None
     sphere_body: Optional[jax.Array] = None  # (ns,) int body index (-1 = world)
     capsule_body: Optional[jax.Array] = None
     box_body: Optional[jax.Array] = None
+    cylinder_body: Optional[jax.Array] = None
 
 
 def pose_shapes(shapes: ShapeSet, body_pos, body_quat) -> ShapeSet:
@@ -105,4 +107,12 @@ def pose_shapes(shapes: ShapeSet, body_pos, body_quat) -> ShapeSet:
             shapes.boxes.half_extents,
         )
         out["box_body"] = shapes.box_body
+    if shapes.cylinders is not None:
+        p, q = body_of(shapes.cylinder_body)
+        out["cylinders"] = Cylinder(
+            p + rot.qrot(q, shapes.cylinders.a),
+            p + rot.qrot(q, shapes.cylinders.b),
+            shapes.cylinders.radius,
+        )
+        out["cylinder_body"] = shapes.cylinder_body
     return ShapeSet(**out)

@@ -100,7 +100,7 @@ class ChainWorkspace(Workspace):
             res = kte.fk(spec, q)
             posed = pose_shapes(robot_shapes, res.body_pos, res.body_quat)
             robot = ProxyModel(spheres=posed.spheres, capsules=posed.capsules,
-                               boxes=posed.boxes)
+                               boxes=posed.boxes, cylinders=posed.cylinders)
             return proxy_query(robot, env) > margin
 
         is_free = jax.jit(jax.vmap(is_free_one))
@@ -114,7 +114,7 @@ class ChainWorkspace(Workspace):
             res = kte.fk(self.spec, q)
             posed = pose_shapes(self.robot_shapes, res.body_pos, res.body_quat)
             robot = ProxyModel(spheres=posed.spheres, capsules=posed.capsules,
-                               boxes=posed.boxes)
+                               boxes=posed.boxes, cylinders=posed.cylinders)
             return proxy_query(robot, self.env)
 
         return jax.vmap(one)(qs)

@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Keep the axon (tunneled-TPU) PJRT plugin out of CPU test processes: its
+# sitecustomize registration dials the relay on first backend init (~60 s per
+# process).  Clearing the gate here also propagates to pytest-xdist workers,
+# which inherit this environment when they spawn.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

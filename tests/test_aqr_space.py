@@ -62,6 +62,7 @@ class TestMEAQR:
         t1 = float(meaqr.times[1])
         assert d_self == pytest.approx((0.1 * t1) ** 0.5, rel=1e-3)
 
+    @pytest.mark.slow
     def test_rrt_over_meaqr_plans_kinodynamically(self, meaqr):
         """Kinodynamic RRT through a velocity-gated wall: steering follows
         min-energy system trajectories (ref: MEAQR planners,

@@ -95,3 +95,64 @@ class TestPairs:
         d = f(b1, b2)
         assert d.shape == (K,)
         assert bool(jnp.all(d >= 0)) and bool(jnp.all(jnp.isfinite(d)))
+
+
+class TestProxyQueryDispatch:
+    """The aggregate proxy_query must route the hard pairs through the exact
+    convex kernels (ref: proxy_query_model.hpp:155 full pair dispatch)."""
+
+    def test_box_box_in_aggregate(self):
+        from reak_tpu.geom import ProxyModel, proxy_query
+
+        m1 = ProxyModel(boxes=Box(jnp.zeros((1, 3)),
+                                  jnp.array([[1.0, 0, 0, 0]]),
+                                  jnp.ones((1, 3))))
+        m2 = ProxyModel(boxes=Box(jnp.array([[5.0, 0.0, 0.0]]),
+                                  jnp.array([[1.0, 0, 0, 0]]),
+                                  jnp.ones((1, 3))))
+        np.testing.assert_allclose(float(proxy_query(m1, m2)), 3.0, atol=1e-6)
+
+    def test_cylinder_pairs_in_aggregate(self):
+        from reak_tpu.geom import ProxyModel, proxy_query
+
+        cyl = Cylinder(jnp.array([[0.0, 0, 0]]), jnp.array([[0.0, 0, 2.0]]),
+                       jnp.array([0.5]))
+        m1 = ProxyModel(cylinders=cyl)
+        # sphere 3 m off-axis: gap = 3 − 0.5(cyl) − 0.5(sphere) = 2
+        m2 = ProxyModel(spheres=Sphere(jnp.array([[3.0, 0.0, 1.0]]),
+                                       jnp.array([0.5])))
+        np.testing.assert_allclose(float(proxy_query(m1, m2)), 2.0, atol=1e-9)
+        # coaxial cylinder above: flat-cap gap is axial = 1 (capsule approx
+        # would report 1 − 0.5 − 0.4 = 0.1)
+        m3 = ProxyModel(cylinders=Cylinder(jnp.array([[0.0, 0, 3.0]]),
+                                           jnp.array([[0.0, 0, 5.0]]),
+                                           jnp.array([0.4])))
+        np.testing.assert_allclose(float(proxy_query(m1, m3)), 1.0, atol=1e-5)
+
+    def test_capsule_box_exact_in_aggregate(self):
+        from reak_tpu.geom import ProxyModel, proxy_query
+
+        # capsule diagonal over a box corner — the old 8-sample approximation
+        # overestimates unless a sample lands at the closest point
+        cap = Capsule(jnp.array([[2.0, -1.0, 0.37]]),
+                      jnp.array([[2.0, 1.0, 0.37]]), jnp.array([0.25]))
+        m1 = ProxyModel(capsules=cap)
+        m2 = ProxyModel(boxes=Box(jnp.zeros((1, 3)),
+                                  jnp.array([[1.0, 0, 0, 0]]),
+                                  jnp.ones((1, 3))))
+        np.testing.assert_allclose(float(proxy_query(m1, m2)), 0.75, atol=1e-6)
+
+    def test_cylinder_plane_in_aggregate(self):
+        from reak_tpu.geom import Plane, ProxyModel, proxy_query
+
+        # tilted cylinder over the floor: rim dips below the axis endpoint
+        axis45 = jnp.array([[1.0, 0.0, 1.0]]) / np.sqrt(2.0)
+        cyl = Cylinder(jnp.array([[0.0, 0.0, 2.0]]),
+                       jnp.array([[0.0, 0.0, 2.0]]) + 2.0 * axis45,
+                       jnp.array([0.5]))
+        m1 = ProxyModel(cylinders=cyl)
+        m2 = ProxyModel(planes=Plane(jnp.array([[0.0, 0, 1.0]]),
+                                     jnp.array([0.0])))
+        # lower cap center at z=2, rim drop = r·sin(45°)
+        expect = 2.0 - 0.5 / np.sqrt(2.0)
+        np.testing.assert_allclose(float(proxy_query(m1, m2)), expect, atol=1e-9)

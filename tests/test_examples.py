@@ -29,6 +29,7 @@ def test_estimate_cli_mc(capsys):
     assert "MC runs: 4" in out and "final pos err" in out
 
 
+@pytest.mark.slow
 def test_predict_cli(capsys):
     import predict_satellite3d as pred
     assert pred.main(["--steps=20", "--horizon=10", "--n-scenarios=4"]) == 0

@@ -2,6 +2,7 @@
 
 Fixture style mirrors tests/test_geom_planning.py (gap world; the reference's
 bitmap test-world strategy, SURVEY.md §4)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -149,6 +150,7 @@ class TestFADPRM:
 
 
 class TestRRG:
+    @pytest.mark.slow
     def test_plans_gap_world(self):
         ws, q = _gap_world()
         res = pl.rrg_plan(ws, q, max_iters=120, step_size=0.8, seed=2)

@@ -1,5 +1,6 @@
 """QP and MPC correctness (parity model: ref core/optimization test_qp.cpp and
 the BASELINE north-star MPC configs)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -154,6 +155,7 @@ def test_mpc_receding_horizon_stabilizes():
     assert float(jnp.linalg.norm(xs[-1])) < 1e-2
 
 
+@pytest.mark.slow
 def test_mpc_nonlinear_pendulum_swingdown():
     """Nonlinear KTE pendulum + SQP MPC drives to hanging equilibrium."""
     from reak_tpu.kte import models

@@ -54,6 +54,7 @@ class TestSatellite:
         np.testing.assert_allclose(np.asarray(x_im), np.asarray(x_rk),
                                    atol=1e-8)
 
+    @pytest.mark.slow
     def test_iekf_pose_estimation_converges(self):
         """Simulation-as-oracle: IEKF with pose+gyro measurements recovers a
         tumbling satellite's state (ref: estimate_satellite3D.cpp workflow)."""
@@ -197,6 +198,7 @@ class TestTSOS:
         np.testing.assert_allclose(np.asarray(re.cov),
                                    np.asarray(b_joint.cov), atol=1e-7)
 
+    @pytest.mark.slow
     def test_tsos_estimates_airship_mass_imbalance(self):
         """Online parameter identification: heavy airship, TSOS recovers δm."""
         g = 9.81
