@@ -133,6 +133,72 @@ def rrt_plan(
     return PlanResult(True, path, path_cost(space, path), int(state.count), it + 1, wall)
 
 
+class _Tree(NamedTuple):
+    verts: jax.Array  # (cap, n)
+    parents: jax.Array  # (cap,) int32
+    count: jax.Array  # () int32
+
+
+def _make_birrt_round(space, workspace, step_size, connect_tol):
+    """One alternating bi-RRT round, fully batched (ref: rr_tree.hpp:256):
+    grow tree A toward K random samples, then grow tree B toward A's newly
+    accepted vertices (the connect heuristic), and report any (a, b) vertex
+    pair that came within ``connect_tol``."""
+    dist_fn = space.distance
+
+    def grow(tree: _Tree, targets, src_required=None):
+        """Batched extension of ``tree`` toward ``targets`` (K, n).
+        Returns (tree', slots, new_pts, accepted)."""
+        cap = tree.verts.shape[0]
+        near_idx = _masked_nn(tree.verts, tree.count, targets, dist_fn)
+        near = tree.verts[near_idx]
+        d = dist_fn(near, targets)
+        t = jnp.minimum(1.0, step_size / jnp.maximum(d, 1e-12))
+        new_pts = space.interpolate(near, targets, t)
+        ok = workspace.edge_free_batch(near, new_pts) & (d > 1e-9)
+        if src_required is not None:
+            ok = ok & src_required
+        offs = jnp.cumsum(ok.astype(jnp.int32)) - 1
+        slots = jnp.where(ok, tree.count + offs, cap - 1)
+        fits = slots < (cap - 1)
+        write = ok & fits
+        verts = tree.verts.at[slots].set(
+            jnp.where(write[:, None], new_pts, tree.verts[slots])
+        )
+        parents = tree.parents.at[slots].set(
+            jnp.where(write, near_idx.astype(jnp.int32), tree.parents[slots])
+        )
+        count = jnp.minimum(tree.count + jnp.sum(ok.astype(jnp.int32)), cap - 1)
+        return _Tree(verts, parents, count), slots, new_pts, write
+
+    def round_step(tree_a: _Tree, tree_b: _Tree, key):
+        K = 64
+        samples = space.sample(key, (K,))
+        tree_a, slots_a, new_a, acc_a = grow(tree_a, samples)
+        # connect wave: B extends toward A's accepted new vertices
+        tree_b, slots_b, new_b, acc_b = grow(tree_b, new_a, src_required=acc_a)
+        gap = dist_fn(new_b, new_a)
+        hit = acc_a & acc_b & (gap <= connect_tol)
+        first = jnp.argmax(hit)
+        bridge = jnp.where(
+            jnp.any(hit),
+            jnp.stack([slots_a[first], slots_b[first]]).astype(jnp.int32),
+            jnp.array([-1, -1], jnp.int32),
+        )
+        return tree_a, tree_b, bridge
+
+    return jax.jit(round_step)
+
+
+def _trace_to_root(verts, parents, idx):
+    path = []
+    i = idx
+    while i >= 0:
+        path.append(verts[i])
+        i = parents[i]
+    return path  # leaf → root
+
+
 def birrt_plan(
     workspace,
     query: PlanningQuery,
@@ -141,27 +207,50 @@ def birrt_plan(
     capacity: int = 8192,
     seed: int = 0,
 ) -> PlanResult:
-    """Bidirectional RRT (ref: rr_tree.hpp:256 generate_bidirectional_rrt):
-    grow trees from start and goal; alternate extension toward the other
-    tree's newest batch; connect when the trees come within step_size."""
+    """TRUE bidirectional RRT (ref: rr_tree.hpp:256 generate_bidirectional_rrt):
+    two trees rooted at start and goal; each round one tree extends toward a
+    batch of random samples and the OTHER tree extends toward the accepted
+    new vertices (batched connect test); roles alternate every round; the
+    path is spliced at the first vertex pair within ``goal_tolerance``."""
     space = workspace.space
     start = jnp.asarray(query.start)
     goal = jnp.asarray(query.goal)
+    n = start.shape[-1]
 
-    # Implemented as two unidirectional waves with cross-tree goal bias:
-    # tree B's nearest vertex serves as tree A's biased target each round.
-    resA = rrt_plan(workspace, PlanningQuery(np.asarray(start), np.asarray(goal),
-                                             query.goal_tolerance),
-                    max_iters=max_iters, step_size=step_size,
-                    goal_bias=0.1, capacity=capacity, seed=seed)
-    if resA.success:
-        return resA
-    # fall back: try from the goal side (helps bug-trap worlds)
-    resB = rrt_plan(workspace, PlanningQuery(np.asarray(goal), np.asarray(start),
-                                             query.goal_tolerance),
-                    max_iters=max_iters, step_size=step_size,
-                    goal_bias=0.1, capacity=capacity, seed=seed + 1)
-    if resB.success:
-        return PlanResult(True, resB.path[::-1].copy(), resB.cost,
-                          resB.n_vertices, resB.n_iterations, resB.wall_time_s)
-    return resA
+    def new_tree(root):
+        return _Tree(
+            verts=jnp.zeros((capacity, n), start.dtype).at[0].set(root),
+            parents=jnp.full((capacity,), -1, jnp.int32),
+            count=jnp.asarray(1, jnp.int32),
+        )
+
+    tree_s, tree_g = new_tree(start), new_tree(goal)
+    round_step = _make_birrt_round(space, workspace, step_size,
+                                   query.goal_tolerance)
+    key = jax.random.PRNGKey(seed)
+    t0 = time.perf_counter()
+    bridge_sg = None  # (start_tree_idx, goal_tree_idx)
+    it = 0
+    for it in range(max_iters):
+        key, sub = jax.random.split(key)
+        if it % 2 == 0:  # start tree explores, goal tree connects
+            tree_s, tree_g, bridge = round_step(tree_s, tree_g, sub)
+            if int(bridge[0]) >= 0:
+                bridge_sg = (int(bridge[0]), int(bridge[1]))
+                break
+        else:  # alternate roles (the reference's alternation)
+            tree_g, tree_s, bridge = round_step(tree_g, tree_s, sub)
+            if int(bridge[0]) >= 0:
+                bridge_sg = (int(bridge[1]), int(bridge[0]))
+                break
+
+    wall = time.perf_counter() - t0
+    n_verts = int(tree_s.count) + int(tree_g.count)
+    if bridge_sg is None:
+        return PlanResult(False, None, float("inf"), n_verts, it + 1, wall)
+    sv, sp_ = np.asarray(tree_s.verts), np.asarray(tree_s.parents)
+    gv, gp = np.asarray(tree_g.verts), np.asarray(tree_g.parents)
+    half_s = _trace_to_root(sv, sp_, bridge_sg[0])[::-1]  # start → bridge
+    half_g = _trace_to_root(gv, gp, bridge_sg[1])  # bridge → goal
+    path = np.stack(half_s + half_g)
+    return PlanResult(True, path, path_cost(space, path), n_verts, it + 1, wall)

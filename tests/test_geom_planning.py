@@ -188,3 +188,53 @@ def test_chain_workspace_collision():
     free = np.asarray(ws.is_free_batch(jnp.concatenate([q_straight, q_up])))
     assert not free[0]
     assert free[1]
+
+
+# ---------------------------------------------------------------------------
+# bidirectional RRT (ref: rr_tree.hpp:256 generate_bidirectional_rrt)
+# ---------------------------------------------------------------------------
+
+
+def _bug_trap_world():
+    """Goal inside a C-shaped trap whose mouth faces AWAY from the start:
+    a start-rooted tree rarely threads the mouth, while a goal-rooted tree
+    walks straight out — the canonical bi-RRT workload."""
+    space = sp.HyperboxSpace(jnp.zeros(2), jnp.full(2, 10.0))
+    cx, cy = 7.0, 5.0  # trap center (goal)
+
+    def is_free(pts):
+        x, y = pts[:, 0], pts[:, 1]
+        lx, ly = x - cx, y - cy
+        inside_ring = (jnp.maximum(jnp.abs(lx), jnp.abs(ly)) > 1.2) & (
+            jnp.maximum(jnp.abs(lx), jnp.abs(ly)) < 1.6
+        )
+        # mouth: narrow slot on the +x side (away from the start at x=1)
+        mouth = (lx > 1.0) & (jnp.abs(ly) < 0.25)
+        return ~(inside_ring & ~mouth)
+
+    ws = pl.Workspace(space, is_free, n_checks=24)
+    q = PlanningQuery(np.array([1.0, 5.0]), np.array([cx, cy]),
+                      goal_tolerance=0.3)
+    return ws, q
+
+
+def test_birrt_beats_unidirectional_in_bug_trap():
+    ws, q = _bug_trap_world()
+    budget = 40
+    uni = pl.rrt_plan(ws, q, max_iters=budget, step_size=0.6, seed=0)
+    bi = pl.birrt_plan(ws, q, max_iters=budget, step_size=0.6, seed=0)
+    assert bi.success, "bi-RRT should thread the trap via the goal tree"
+    assert not uni.success, "unidirectional RRT should fail at this budget"
+    assert _valid_path(ws, bi.path)
+    # the spliced path must enter through the mouth (x > trap center)
+    assert bi.path[:, 0].max() > 8.0
+
+
+def test_birrt_alternation_connects_both_halves():
+    ws, q = _gap_world()
+    res = pl.birrt_plan(ws, q, max_iters=80, step_size=0.8, seed=5)
+    assert res.success
+    assert _valid_path(ws, res.path)
+    # endpoints are the query endpoints exactly (splice keeps both roots)
+    np.testing.assert_allclose(res.path[0], q.start, atol=1e-9)
+    np.testing.assert_allclose(res.path[-1], q.goal, atol=1e-9)
