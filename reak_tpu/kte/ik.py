@@ -141,6 +141,116 @@ def ik_scara(spec: ChainSpec, p_ee, yaw=None, elbow=1.0):
 
 
 # ---------------------------------------------------------------------------
+# closed-form: 7-DoF symmetric arms — SSRMS/Canadarm2 & ERA
+# (ref: manip_SSRMS_arm.hpp:51 / manip_SSRMS_arm.cpp:300 doInverseMotion,
+#  manip_ERA_arm.hpp:50 / manip_ERA_arm.cpp doInverseMotion)
+# ---------------------------------------------------------------------------
+#
+# Both arms are roll–yaw–(pitch,pitch,pitch)–yaw–roll chains whose three
+# middle joints share one axis direction w (the PLANE NORMAL of the planar
+# elbow sub-chain).  The reference resolves the 1-DoF redundancy with a
+# geometric wrist-plane construction (manip_SSRMS_arm.cpp:327-415, including
+# a small fixed-point iteration); here the redundancy is an EXPLICIT angle
+# ``phi`` picking w on the circle of unit vectors ⊥ (wrist−shoulder), so a
+# vmap over phi evaluates the whole self-motion manifold in one batch — the
+# TPU-native replacement for the reference's branch search.
+#
+# Derivation (SSRMS axes z,x,y,y,y,x,z; offsets along local +z):
+#   p1 = (0,0,L0) fixed; p5 = p_ee − L5·ẑ_ee (joint-6 is a z-roll);
+#   every segment p1→p5 is ⊥ w  ⇒  w ⊥ v := p5 − p1  (the redundancy circle);
+#   base pair:  w = Rz(q0)Rx(q1)·ŷ  ⇒  q0, q1;
+#   wrist pair: w = c5·y5 − s5·ẑ_ee with y5 = s6·x̂_ee + c6·ŷ_ee ⇒ q5, q6;
+#   middle: planar 2R (L2, L3) in the plane {u1 = R1·ẑ, u2 = w×u1} ⇒ q2, q3;
+#   q4 closes the frame: angle about w from ẑ3 to ẑ4 = s5·y5 + c5·ẑ_ee.
+# ERA (axes z,y,x,x,x,y,z) is the same with pitch about x̂ — mirrored dot
+# products, same structure.
+
+
+def _ik7_core(p_ee, quat_ee, L, phi, elbow, kind):
+    R_ee = rot.q_to_matrix(quat_ee)
+    x_ee, y_ee, z_ee = R_ee[:, 0], R_ee[:, 1], R_ee[:, 2]
+    L0, L1, L2, L3, L4, L5 = L
+
+    p1 = jnp.array([0.0, 0.0, L0], p_ee.dtype)
+    p5 = p_ee - L5 * z_ee
+    v = p5 - p1
+    vn = jnp.linalg.norm(v)
+    vu = v / jnp.maximum(vn, 1e-12)
+
+    # redundancy circle basis ⊥ v (guard v ∥ ẑ with an x̂ fallback)
+    zw = jnp.array([0.0, 0.0, 1.0], p_ee.dtype)
+    xw = jnp.array([1.0, 0.0, 0.0], p_ee.dtype)
+    ref_axis = jnp.where(jnp.abs(vu[2]) < 0.9, zw, xw)
+    e1 = jnp.cross(vu, ref_axis)
+    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-12)
+    e2 = jnp.cross(vu, e1)
+    w = jnp.cos(phi) * e1 + jnp.sin(phi) * e2
+
+    if kind == "ssrms":  # pitch about ŷ: w = Rz(q0)Rx(q1)·ŷ
+        q0 = jnp.arctan2(-w[0], w[1])
+        q1 = jnp.arctan2(w[2], jnp.hypot(w[0], w[1]))
+        # wrist: w = c5·y5 − s5·ẑ_ee, y5 = s6·x̂_ee + c6·ŷ_ee
+        q6 = jnp.arctan2(jnp.dot(w, x_ee), jnp.dot(w, y_ee))
+        c5h = jnp.hypot(jnp.dot(w, x_ee), jnp.dot(w, y_ee))
+        q5 = jnp.arctan2(-jnp.dot(w, z_ee), c5h)
+        s5, c5 = jnp.sin(q5), jnp.cos(q5)
+        s6, c6 = jnp.sin(q6), jnp.cos(q6)
+        y5 = s6 * x_ee + c6 * y_ee
+        z4 = s5 * y5 + c5 * z_ee  # R4·ẑ
+    else:  # "era": pitch about x̂: w = Rz(q0)Ry(q1)·x̂
+        q0 = jnp.arctan2(w[1], w[0])
+        q1 = jnp.arctan2(-w[2], jnp.hypot(w[0], w[1]))
+        # wrist: w = c5·x5 + s5·ẑ_ee, x5 = c6·x̂_ee − s6·ŷ_ee
+        q6 = jnp.arctan2(-jnp.dot(w, y_ee), jnp.dot(w, x_ee))
+        c5h = jnp.hypot(jnp.dot(w, x_ee), jnp.dot(w, y_ee))
+        q5 = jnp.arctan2(jnp.dot(w, z_ee), c5h)
+        s5, c5 = jnp.sin(q5), jnp.cos(q5)
+        s6, c6 = jnp.sin(q6), jnp.cos(q6)
+        x5 = c6 * x_ee - s6 * y_ee
+        z4 = -s5 * x5 + c5 * z_ee  # R4·ẑ
+
+    # shoulder-plane basis: u1 = R1·ẑ, u2 = w × u1
+    s0, c0 = jnp.sin(q0), jnp.cos(q0)
+    s1, c1 = jnp.sin(q1), jnp.cos(q1)
+    if kind == "ssrms":
+        u1 = jnp.stack([s0 * s1, -c0 * s1, c1])
+    else:
+        u1 = jnp.stack([c0 * s1, s0 * s1, c1])
+    u2 = jnp.cross(w, u1)
+
+    p2 = p1 + L1 * u1
+    p4 = p5 - L4 * z4
+    d = p4 - p2
+    a, b = jnp.dot(d, u1), jnp.dot(d, u2)
+    r2 = a * a + b * b
+    c3 = jnp.clip((r2 - L2 * L2 - L3 * L3) / (2.0 * L2 * L3), -1.0, 1.0)
+    q3 = elbow * jnp.arccos(c3)
+    q2 = jnp.arctan2(b, a) - jnp.arctan2(L3 * jnp.sin(q3), L2 + L3 * jnp.cos(q3))
+
+    z3 = jnp.cos(q2 + q3) * u1 + jnp.sin(q2 + q3) * u2
+    q4 = jnp.arctan2(jnp.dot(jnp.cross(z3, z4), w), jnp.dot(z3, z4))
+    return jnp.stack([q0, q1, q2, q3, q4, q5, q6])
+
+
+def ik_ssrms(spec: ChainSpec, p_ee, quat_ee, phi=0.0, elbow=1.0):
+    """Closed-form IK of the 7-DoF SSRMS/Canadarm2 arm
+    (ref: manip_SSRMS_arm.cpp:300 doInverseMotion).  ``phi`` parameterizes
+    the self-motion circle (the reference's wrist-plane heuristic picks one
+    point of it); ``elbow`` ∈ {+1, −1} selects the elbow branch."""
+    L = _zoffsets(spec, 0)[1:7]
+    return _ik7_core(p_ee, rot.qnormalize(quat_ee), L,
+                     jnp.asarray(phi, p_ee.dtype), elbow, "ssrms")
+
+
+def ik_era(spec: ChainSpec, p_ee, quat_ee, phi=0.0, elbow=1.0):
+    """Closed-form IK of the 7-DoF ERA arm
+    (ref: manip_ERA_arm.cpp doInverseMotion — same family, x-pitch axes)."""
+    L = _zoffsets(spec, 0)[1:7]
+    return _ik7_core(p_ee, rot.qnormalize(quat_ee), L,
+                     jnp.asarray(phi, p_ee.dtype), elbow, "era")
+
+
+# ---------------------------------------------------------------------------
 # CLIK — closed-loop numerical IK (ref: manip_clik_calculator.hpp:209)
 # ---------------------------------------------------------------------------
 

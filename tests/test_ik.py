@@ -120,3 +120,76 @@ class TestCLIK:
         res = f(ps, quats, qs + 0.1 * jnp.asarray(rng.standard_normal((16, 6))))
         assert res.q.shape == (16, 6)
         assert float(jnp.max(res.err)) < 1e-6
+
+
+class TestIK7DoF:
+    """Closed-form SSRMS/ERA IK (ref: manip_SSRMS_arm.cpp:300,
+    manip_ERA_arm.cpp doInverseMotion) — FK round trips at machine precision,
+    like the 3R3R solver above."""
+
+    @staticmethod
+    def _phi_of(spec, q):
+        """Redundancy angle of a configuration: project the middle pitch axis
+        onto the solver's self-motion circle basis."""
+        from reak_tpu.kte import dynamics
+        from reak_tpu.math import rotations as rot
+
+        r = dynamics.fk(spec, q)
+        w = r.joint_axis[3]
+        p, quat = ik.ee_pose(spec, q)
+        offs = np.asarray(spec.offsets_pos)
+        p1 = jnp.array([0.0, 0.0, float(offs[1][2])])
+        Ree = rot.q_to_matrix(quat)
+        v = (p - float(offs[6][2]) * Ree[:, 2]) - p1
+        vu = v / jnp.linalg.norm(v)
+        ref = jnp.where(jnp.abs(vu[2]) < 0.9, jnp.array([0.0, 0, 1.0]),
+                        jnp.array([1.0, 0, 0.0]))
+        e1 = jnp.cross(vu, ref)
+        e1 = e1 / jnp.linalg.norm(e1)
+        e2 = jnp.cross(vu, e1)
+        return jnp.arctan2(jnp.dot(w, e2), jnp.dot(w, e1))
+
+    def _roundtrip(self, make, solver, rng):
+        from reak_tpu.math import rotations as rot
+
+        spec = make()
+        for _ in range(12):
+            q = jnp.asarray(rng.uniform(-1.2, 1.2, 7))
+            p, quat = ik.ee_pose(spec, q)
+            phi = self._phi_of(spec, q)
+            elbow = 1.0 if float(q[3]) >= 0 else -1.0
+            qik = solver(spec, p, quat, phi=phi, elbow=elbow)
+            p2, quat2 = ik.ee_pose(spec, qik)
+            np.testing.assert_allclose(np.asarray(p2), np.asarray(p), atol=1e-9)
+            ang = jnp.linalg.norm(rot.q_log(rot.qmul(rot.qconj(quat), quat2)))
+            assert float(ang) < 1e-9
+
+    def test_ssrms_roundtrip(self, rng):
+        self._roundtrip(models.manip_ssrms, ik.ik_ssrms, rng)
+
+    def test_era_roundtrip(self, rng):
+        self._roundtrip(models.manip_era, ik.ik_era, rng)
+
+    def test_redundancy_sweep_all_reach_pose(self, rng):
+        """Every phi on the self-motion circle reproduces the same EE pose —
+        the capability the reference's single-branch heuristic picks one
+        point of (manip_SSRMS_arm.cpp:327-415)."""
+        from reak_tpu.math import rotations as rot
+
+        spec = models.manip_ssrms()
+        q = jnp.asarray([0.3, 0.4, 0.5, -0.8, 0.3, 0.5, 0.2])
+        p, quat = ik.ee_pose(spec, q)
+        phis = jnp.linspace(-np.pi, np.pi, 33)
+        qik = jax.vmap(lambda f: ik.ik_ssrms(spec, p, quat, phi=f))(phis)
+        ps, quats = jax.vmap(lambda qq: ik.ee_pose(spec, qq))(qik)
+        perr = jnp.linalg.norm(ps - p[None], axis=-1)
+        angs = jax.vmap(
+            lambda qt: jnp.linalg.norm(rot.q_log(rot.qmul(rot.qconj(quat), qt)))
+        )(quats)
+        # not every phi is feasible (the planar sub-chain's reach varies with
+        # the plane choice); the feasible arc must be wide and every feasible
+        # solution must reproduce the pose exactly
+        feas = np.asarray((perr < 1e-8) & (angs < 1e-8))
+        assert feas.sum() >= 8, f"only {feas.sum()} feasible phis"
+        # and the feasible solutions genuinely differ (a real self-motion arc)
+        assert float(np.std(np.asarray(qik)[feas, 0])) > 0.1
