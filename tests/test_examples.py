@@ -46,3 +46,19 @@ def test_crs_planner_cli(planner, capsys, tmp_path):
     assert rc == 0
     assert "success=True" in capsys.readouterr().out
     assert os.path.exists(out)
+
+
+def test_crs_dynexec_pipeline(tmp_path, capsys):
+    """The full online composite: estimate (TCP loopback stream) → predict →
+    IK-mapped intercept plan → recorded output (ref: CRS_planner_dynexec.cpp:75
+    + predict_satellite3D.cpp streaming composition)."""
+    import crs_dynexec as dyn
+    out = str(tmp_path / "plan.csv")
+    rc = dyn.main(["--steps=15", "--horizon=15", "--max-iters=60",
+                   "--port=48917", f"--output={out}"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "rows streamed" in text and "intercept planned" in text
+    with open(out) as f:
+        rows = f.read().strip().splitlines()
+    assert len(rows) >= 3  # header + at least two waypoints
