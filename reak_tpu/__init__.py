@@ -21,6 +21,7 @@ Layer map (mirrors the capability layers of the reference, SURVEY.md §1):
 - ``reak_tpu.io``          recorders, serialization, config                   (ref: core/recorders, core/serialization)
 - ``reak_tpu.ops``         Pallas TPU kernels for hot paths
 - ``reak_tpu.parallel``    device mesh / collectives helpers
+- ``reak_tpu.errors``      failure detection: status flags + host exceptions  (ref: exception surface, SURVEY §5.3)
 """
 
 __version__ = "0.1.0"

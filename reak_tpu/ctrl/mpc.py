@@ -41,6 +41,18 @@ class MPCSolution(NamedTuple):
     qp: QPResult
 
 
+def solution_status(sol: MPCSolution, gap_tol: float = 1e-6):
+    """Device-side failure flags for an MPC solution (reak_tpu.errors
+    bitmask): NONFINITE when the plan blew up, NOT_CONVERGED when the PDIP
+    complementarity gap is above tolerance.  The systematic error surface the
+    reference provides via exceptions (SURVEY §5.3)."""
+    from reak_tpu import errors
+
+    return errors.finite_flag(sol.u, sol.x) | errors.convergence_flag(
+        sol.qp.gap, gap_tol
+    )
+
+
 def rollout_nominal(F: Callable, x0, u_seq):
     """Roll the discrete dynamics under a nominal input sequence → (H, n)."""
 

@@ -400,6 +400,26 @@ def forward_dynamics(spec: ChainSpec, q, qd, tau=None) -> jax.Array:
     return solve_pd(M, f)
 
 
+def forward_dynamics_checked(spec: ChainSpec, q, qd, tau=None):
+    """Forward dynamics + device-side failure flags: ``(q̈, status)`` where
+    status is a reak_tpu.errors bitmask (SINGULAR_MATRIX when the mass matrix
+    is numerically singular — the reference THROWS here,
+    manipulator_model.cpp:351-354 — NONFINITE when inputs/outputs blow up).
+    Safe inside jit/vmap/scan; raise on host with errors.raise_on_error."""
+    from reak_tpu import errors
+
+    M, f = dynamics_terms(spec, q, qd)
+    if tau is not None:
+        f = f + tau
+    qdd = solve_pd(M, f)
+    status = (
+        errors.chol_singular_flag(M)
+        | errors.finite_flag(q, qd, f)
+        | errors.finite_flag(qdd)
+    )
+    return qdd, status
+
+
 def inverse_dynamics(spec: ChainSpec, q, qd, qdd) -> jax.Array:
     """Required generalized force: τ = M q̈ − f_nl
     (ref: kte_models/inverse_dynamics_model.hpp:54)."""
