@@ -25,7 +25,8 @@ from reak_tpu.planning.adstar import ADStar, adstar_search
 from reak_tpu.planning.fadprm import FADPRMPlanner, fadprm_plan
 from reak_tpu.planning.rrg import rrg_plan
 from reak_tpu.planning.dvp_tree import DVPTree, linear_nn
-from reak_tpu.planning.intercept import InterceptQuery, intercept_plan
+from reak_tpu.planning.intercept import (InterceptQuery, intercept_plan,
+                                         RendezvousQuery, intercept_plan_1st_order)
 
 __all__ = [
     "ADStar",
@@ -37,6 +38,8 @@ __all__ = [
     "linear_nn",
     "InterceptQuery",
     "intercept_plan",
+    "RendezvousQuery",
+    "intercept_plan_1st_order",
     "Workspace",
     "NoObstacleWorkspace",
     "ChainWorkspace",

@@ -119,3 +119,144 @@ def intercept_plan(workspace, query: InterceptQuery, max_iters: int = 200,
     idxs.reverse()
     path = np.hstack([T[idxs][:, None], V[idxs]])
     return PlanResult(success=True, path=jnp.asarray(path), cost=float(T[goal_idx]), n_vertices=cnt, n_iterations=it + 1, wall_time_s=time.perf_counter() - t0)
+
+
+# ---------------------------------------------------------------------------
+# 1st-order (kinodynamic rendezvous) interception
+# ---------------------------------------------------------------------------
+
+
+class RendezvousQuery(NamedTuple):
+    """Intercept query in time × 1st-order joint space: the goal is to MATCH
+    the target's position AND velocity (a grapple/rendezvous, the capability
+    the reference's dynamic workspaces + reachability spaces compose for,
+    manip_free_dynamic_workspace.hpp:60 + reachability_space.hpp:180)."""
+
+    start_q: jnp.ndarray        # (n,)
+    start_qd: jnp.ndarray       # (n,)
+    target_traj: Callable       # t → (q (n,), qd (n,)) target state
+    t_budget: float
+    goal_tol: float = 0.15      # SVP reach-time ball around the target state
+
+
+def intercept_plan_1st_order(workspace, space1, query: RendezvousQuery,
+                             max_iters: int = 200, batch: int = 16,
+                             dt_max: float = 1.0, n_checks: int = 8,
+                             seed: int = 0) -> PlanResult:
+    """Time-augmented RRT over the 1st-order tangent bundle ``space1``
+    (spaces.Ndof1stOrderSpace): vertices are (t, q, q̇); edges ride min-time
+    SVP profiles (velocity-continuous, |q̇| ≤ speed by construction); the
+    predecessor-feasibility gate and the goal test both use the SVP
+    REACH-TIME metric — i.e. the planner plans in time × 1st-order joint
+    space with reachability pruning (the VERDICT/ref composition:
+    intercept_query.hpp:75 over a 1st-order rate-limited topology).
+
+    Path rows are [t, q..., qd...]; cost is the rendezvous time.
+    """
+    from reak_tpu.interp import pulses as pl_
+
+    n = query.start_q.shape[-1]
+    speed = space1.speed
+    a_ramp = space1.a_ramp
+    t0 = time.perf_counter()
+    key = jax.random.PRNGKey(seed)
+
+    cap = max_iters * batch + 1
+    T = np.zeros(cap)
+    Q = np.zeros((cap, n))
+    QD = np.zeros((cap, n))
+    Q[0], QD[0] = np.asarray(query.start_q), np.asarray(query.start_qd)
+    parent = np.full(cap, -1, np.int64)
+    cnt = 1
+    goal_idx = -1
+
+    tgrid = jnp.asarray(np.linspace(0.0, query.t_budget, 64))
+    tq, tqd = zip(*(query.target_traj(float(t)) for t in tgrid))
+    tq, tqd = jnp.stack([jnp.asarray(x) for x in tq]), jnp.stack(
+        [jnp.asarray(x) for x in tqd])
+
+    def reach(q1, qd1, q2, qd2):
+        Tj, _ = pl_.svp_min_time(q1, q2, qd1, qd2, speed, a_ramp)
+        return jnp.max(Tj, axis=-1)
+
+    @jax.jit
+    def wave(Qv, QDv, Tv, c, k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        samp = space1.sample(k1, (batch,))
+        t_samp = jax.random.uniform(k2, (batch,)) * query.t_budget
+        # 25% goal bias toward tabulated target states
+        bias = jax.random.uniform(k3, (batch,)) < 0.25
+        ti = jax.random.randint(k3, (batch,), 0, tgrid.shape[0])
+        q_s = jnp.where(bias[:, None], tq[ti], samp.q)
+        qd_s = jnp.where(bias[:, None], tqd[ti], samp.qd)
+        t_s = jnp.where(bias, tgrid[ti], t_samp)
+
+        mask = jnp.arange(cap) < c
+
+        def near(qs, qds, ts):
+            rt = jax.vmap(lambda q, qd: reach(q, qd, qs, qds))(Qv, QDv)
+            dtm = ts - Tv
+            feas = mask & (dtm > 1e-6) & (rt <= dtm)
+            score = jnp.where(feas, rt + 0.1 * dtm, jnp.inf)
+            fallback = jnp.where(mask & (dtm > 1e-6), rt, jnp.inf)
+            return jnp.where(jnp.any(feas), jnp.argmin(score),
+                             jnp.argmin(fallback))
+
+        ni = jax.vmap(near)(q_s, qd_s, t_s)
+        src_q, src_qd, src_t = Qv[ni], QDv[ni], Tv[ni]
+        rt = jax.vmap(reach)(src_q, src_qd, q_s, qd_s)
+        # steer along the SVP profile that ARRIVES AT THE SAMPLE'S TIME:
+        # stretch the profile to Δt when Δt ≥ min time (the timed SVP solve —
+        # the whole point of interception is being there at the right time),
+        # else ride the min-time profile as far as the edge cap allows
+        dt_s = jnp.maximum(t_s - src_t, 1e-3)
+        Tprof = jnp.maximum(dt_s, rt)[:, None]
+        tau = jnp.maximum(jnp.minimum(dt_s, dt_max), 1e-3)
+        vp = pl_.svp_peak_velocity(src_q, q_s, src_qd, qd_s, speed, Tprof,
+                                   a_ramp)
+        new_q, new_qd, _ = pl_.svp_eval(src_q, q_s, src_qd, qd_s, vp, speed,
+                                        Tprof, tau[:, None], a_ramp)
+        new_t = src_t + tau
+        # collision: sample the swept position profile
+        ts_chk = jnp.linspace(0.0, 1.0, n_checks)[:, None] * tau[None, :]
+        pos_chk, _, _ = pl_.svp_eval(
+            src_q[None], q_s[None], src_qd[None], qd_s[None],
+            vp[None], speed, Tprof[None], ts_chk[..., None], a_ramp)
+        free = workspace.is_free_batch(pos_chk.reshape(-1, n))
+        ok = jnp.all(free.reshape(n_checks, batch), axis=0)
+        ok = ok & (new_t <= query.t_budget)
+        # goal: within a reach-time ball of the target state at arrival time
+        gi = jnp.clip(jnp.searchsorted(tgrid, new_t), 0, tgrid.shape[0] - 1)
+        rt_goal = jax.vmap(reach)(new_q, new_qd, tq[gi], tqd[gi])
+        hit = ok & (rt_goal < query.goal_tol)
+        return new_q, new_qd, new_t, ni, ok, hit
+
+    it = 0
+    for it in range(max_iters):
+        key, k = jax.random.split(key)
+        q_new, qd_new, t_new, ni, ok, hit = wave(
+            jnp.asarray(Q), jnp.asarray(QD), jnp.asarray(T),
+            jnp.asarray(cnt), k)
+        q_new, qd_new, t_new = map(np.asarray, (q_new, qd_new, t_new))
+        ni, ok, hit = map(np.asarray, (ni, ok, hit))
+        for b in range(batch):
+            if not ok[b] or cnt >= cap:
+                continue
+            Q[cnt], QD[cnt], T[cnt], parent[cnt] = (
+                q_new[b], qd_new[b], t_new[b], ni[b])
+            if hit[b] and goal_idx < 0:
+                goal_idx = cnt
+            cnt += 1
+        if goal_idx >= 0:
+            break
+
+    wall = time.perf_counter() - t0
+    if goal_idx < 0:
+        return PlanResult(False, None, float("inf"), cnt, max_iters, wall)
+    idxs = [goal_idx]
+    while idxs[-1] != 0:
+        idxs.append(int(parent[idxs[-1]]))
+    idxs.reverse()
+    path = np.hstack([T[idxs][:, None], Q[idxs], QD[idxs]])
+    return PlanResult(True, jnp.asarray(path), float(T[goal_idx]), cnt,
+                      it + 1, wall)

@@ -154,3 +154,43 @@ class TestSE3Orders:
         np.testing.assert_allclose(d, 0.0, atol=1e-9)
         clamped = s.clamp(a)
         np.testing.assert_allclose(clamped.quat, a.quat, atol=1e-9)
+
+
+class TestRendezvous:
+    """Intercept planning in time × 1st-order joint space (VERDICT item 5's
+    'Done' criterion; ref composition: intercept_query.hpp:75 over a
+    1st-order rate-limited topology + reachability pruning)."""
+
+    def test_velocity_matched_interception(self):
+        import reak_tpu.planning as pl
+
+        space1 = sp.Ndof1stOrderSpace(
+            lower=jnp.full(2, -6.0), upper=jnp.full(2, 6.0),
+            speed=jnp.full(2, 1.5))
+        ws = pl.NoObstacleWorkspace(
+            sp.HyperboxSpace(jnp.full(2, -6.0), jnp.full(2, 6.0)))
+
+        def target(t):
+            # target glides with CONSTANT VELOCITY — a rendezvous must match
+            # both position and velocity, which a 0th-order planner cannot
+            return (np.array([2.0 - 0.4 * t, 1.0 + 0.3 * t]),
+                    np.array([-0.4, 0.3]))
+
+        q = pl.RendezvousQuery(
+            start_q=jnp.zeros(2), start_qd=jnp.zeros(2),
+            target_traj=target, t_budget=10.0, goal_tol=0.2)
+        res = pl.intercept_plan_1st_order(ws, space1, q, max_iters=80,
+                                          batch=32, seed=0)
+        assert res.success, res
+        t_hit = float(res.cost)
+        row = np.asarray(res.path[-1])
+        q_hit, qd_hit = row[1:3], row[3:5]
+        tgt_q, tgt_qd = target(t_hit)
+        # reach-time ball of 0.2 s ⇒ position within ~speed·tol, velocity
+        # within ~a_ramp·tol of the target state
+        assert np.linalg.norm(q_hit - tgt_q) < 0.5
+        assert np.linalg.norm(qd_hit - tgt_qd) < 0.5
+        # the plan is velocity-continuous from rest: first waypoint at rest
+        np.testing.assert_allclose(res.path[0, 3:5], 0.0, atol=1e-9)
+        # all waypoint velocities within the speed limit
+        assert float(jnp.max(jnp.abs(res.path[:, 3:5]))) <= 1.5 + 1e-6
