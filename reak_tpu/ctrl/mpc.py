@@ -233,15 +233,24 @@ def solve(
 
 
 def make_kte_mpc(spec, problem: MPCProblem, dt: float, qp_iters: int = 8,
-                 sqp_iters: int = 1):
+                 sqp_iters: int = 1, qp_layout: str = "lanes"):
     """Fused batched MPC solver for a fixed-base KTE chain — the TPU fast path.
 
     Composes the batch-in-lanes rollout+linearization (kte.soa) with the
     Riccati interior-point QP; returns ``solve(x0s (B, 2nv), us_init (B, H, m))
     → (us (B, H, m), xs (B, H, 2nv))``.  Wrap in jax.jit.
+
+    ``qp_layout``:
+      - "lanes" (default): the whole PDIP runs batch-in-lanes
+        (ctrl/riccati_soa.py) — tiny-matrix products stay on full-width VPU
+        tiles and the Schur solves hit the Pallas kernel without layout
+        round-trips.  The TPU speed path.
+      - "vmap": per-scenario solver under jax.vmap (ctrl/riccati.py) —
+        batch-first layout; cross-check / CPU path.
     """
     from reak_tpu.kte import soa
     from reak_tpu.ctrl.riccati import solve_box_mpc_riccati
+    from reak_tpu.ctrl.riccati_soa import solve_box_mpc_riccati_soa
 
     H = problem.horizon
     roll = soa.make_rollout_ltv_soa(spec, dt, H)
@@ -250,12 +259,21 @@ def make_kte_mpc(spec, problem: MPCProblem, dt: float, qp_iters: int = 8,
         us = us_init
         for _ in range(sqp_iters):
             A_seq, B_seq, c_seq, _ = roll(x0s, us)
-            us, xs = jax.vmap(
-                lambda A, B, c, x0: solve_box_mpc_riccati(
-                    A, B, c, problem.Q, problem.QN, problem.R, x0,
-                    problem.u_min, problem.u_max, iters=qp_iters,
+            if qp_layout == "lanes":
+                ul, xl = solve_box_mpc_riccati_soa(
+                    jnp.moveaxis(A_seq, 0, -1), jnp.moveaxis(B_seq, 0, -1),
+                    jnp.moveaxis(c_seq, 0, -1), problem.Q, problem.QN,
+                    problem.R, x0s.T, problem.u_min, problem.u_max,
+                    iters=qp_iters,
                 )
-            )(A_seq, B_seq, c_seq, x0s)
+                us, xs = jnp.moveaxis(ul, -1, 0), jnp.moveaxis(xl, -1, 0)
+            else:
+                us, xs = jax.vmap(
+                    lambda A, B, c, x0: solve_box_mpc_riccati(
+                        A, B, c, problem.Q, problem.QN, problem.R, x0,
+                        problem.u_min, problem.u_max, iters=qp_iters,
+                    )
+                )(A_seq, B_seq, c_seq, x0s)
         return us, xs
 
     return solve_batch

@@ -1,0 +1,88 @@
+"""Batch-in-lanes Riccati PDIP (ctrl/riccati_soa.py) — numerical equivalence
+with the per-scenario vmapped solver (ctrl/riccati.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reak_tpu.ctrl import riccati, riccati_soa
+
+
+def _random_ltv(rng, H=12, n=4, m=2, B=5):
+    # stable-ish random LTV systems
+    A = jnp.asarray(0.95 * np.stack(
+        [np.eye(n) + 0.05 * rng.standard_normal((H, n, n))[h] for h in range(H)]
+    ))[None].repeat(B, 0) + 0.01 * jnp.asarray(rng.standard_normal((B, H, n, n)))
+    Bm = jnp.asarray(0.1 * rng.standard_normal((B, H, n, m)))
+    c = jnp.asarray(0.01 * rng.standard_normal((B, H, n)))
+    x0 = jnp.asarray(rng.standard_normal((B, n)))
+    return A, Bm, c, x0
+
+
+def test_soa_matches_vmapped_solver(rng):
+    H, n, m, B = 12, 4, 2, 5
+    A, Bm, c, x0 = _random_ltv(rng, H, n, m, B)
+    Q = jnp.eye(n) * 2.0
+    QN = jnp.eye(n) * 5.0
+    R = jnp.eye(m) * 0.1
+    lb = jnp.full(m, -0.7)
+    ub = jnp.full(m, 0.7)
+
+    u_ref, x_ref = jax.vmap(
+        lambda a, b, cc, x: riccati.solve_box_mpc_riccati(
+            a, b, cc, Q, QN, R, x, lb, ub, iters=12)
+    )(A, Bm, c, x0)
+
+    ul, xl = riccati_soa.solve_box_mpc_riccati_soa(
+        jnp.moveaxis(A, 0, -1), jnp.moveaxis(Bm, 0, -1),
+        jnp.moveaxis(c, 0, -1), Q, QN, R, x0.T, lb, ub, iters=12)
+    u_soa = jnp.moveaxis(ul, -1, 0)
+    x_soa = jnp.moveaxis(xl, -1, 0)
+
+    np.testing.assert_allclose(np.asarray(u_soa), np.asarray(u_ref),
+                               atol=1e-8, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(x_soa), np.asarray(x_ref),
+                               atol=1e-8, rtol=1e-6)
+    # some constraints active, none violated
+    assert bool(jnp.any(jnp.abs(u_soa) > 0.69))
+    assert bool(jnp.all(jnp.abs(u_soa) <= 0.7 + 1e-9))
+
+
+def test_backward_pass_matches(rng):
+    H, n, m, B = 8, 4, 2, 3
+    A, Bm, _, _ = _random_ltv(rng, H, n, m, B)
+    Q = jnp.eye(n)
+    QN = jnp.eye(n) * 3.0
+    Rs = jnp.asarray(rng.uniform(0.5, 2.0, (B, H, m))[:, :, :, None]
+                     * np.eye(m)) + jnp.eye(m) * 0.1
+
+    bw = jax.vmap(lambda a, b, r: riccati.lqr_backward(a, b, Q, QN, r))(
+        A, Bm, Rs)
+    Ks, Gs = riccati_soa.lqr_backward_soa(
+        jnp.moveaxis(A, 0, -1), jnp.moveaxis(Bm, 0, -1), Q, QN,
+        jnp.moveaxis(Rs, 0, -1))
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(Ks, -1, 0)),
+                               np.asarray(bw.Ks), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(Gs, -1, 0)),
+                               np.asarray(bw.Gs), atol=1e-9)
+
+
+def test_make_kte_mpc_layouts_agree(rng):
+    from reak_tpu.kte import models
+    from reak_tpu.ctrl import mpc
+
+    spec = models.planar_2link()
+    prob = mpc.MPCProblem(
+        Q=jnp.diag(jnp.array([10.0, 10.0, 1.0, 1.0])),
+        R=jnp.eye(2) * 0.05,
+        QN=jnp.diag(jnp.array([50.0, 50.0, 5.0, 5.0])),
+        u_min=jnp.full(2, -3.0), u_max=jnp.full(2, 3.0), horizon=8)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, (4, 4)))
+    us0 = jnp.zeros((4, 8, 2))
+    u_l, x_l = jax.jit(mpc.make_kte_mpc(spec, prob, 0.02, qp_iters=6,
+                                        qp_layout="lanes"))(x0s, us0)
+    u_v, x_v = jax.jit(mpc.make_kte_mpc(spec, prob, 0.02, qp_iters=6,
+                                        qp_layout="vmap"))(x0s, us0)
+    np.testing.assert_allclose(np.asarray(u_l), np.asarray(u_v),
+                               atol=1e-8, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(x_l), np.asarray(x_v),
+                               atol=1e-8, rtol=1e-6)
