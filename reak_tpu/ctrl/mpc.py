@@ -233,12 +233,21 @@ def solve(
 
 
 def make_kte_mpc(spec, problem: MPCProblem, dt: float, qp_iters: int = 8,
-                 sqp_iters: int = 1, qp_layout: str = "lanes"):
+                 sqp_iters: int = 1, qp_layout: str = "lanes",
+                 rollout: str = "lanes"):
     """Fused batched MPC solver for a fixed-base KTE chain — the TPU fast path.
 
-    Composes the batch-in-lanes rollout+linearization (kte.soa) with the
-    Riccati interior-point QP; returns ``solve(x0s (B, 2nv), us_init (B, H, m))
+    Composes the batch-in-lanes rollout+linearization with the Riccati
+    interior-point QP; returns ``solve(x0s (B, 2nv), us_init (B, H, m))
     → (us (B, H, m), xs (B, H, 2nv))``.  Wrap in jax.jit.
+
+    ``rollout``:
+      - "lanes" (default): dense-lanes rollout (kte/lanes.py) — identical
+        math to the register form but a ~100× smaller HLO graph (seconds
+        instead of minutes of XLA compile) and lanes-native output, so the
+        LTV models feed the PDIP with zero transposes.
+      - "register": the register-form SoA rollout (kte/soa.py); kept as a
+        cross-check and for measuring the layout trade-off.
 
     ``qp_layout``:
       - "lanes" (default): the whole PDIP runs batch-in-lanes
@@ -248,12 +257,30 @@ def make_kte_mpc(spec, problem: MPCProblem, dt: float, qp_iters: int = 8,
       - "vmap": per-scenario solver under jax.vmap (ctrl/riccati.py) —
         batch-first layout; cross-check / CPU path.
     """
-    from reak_tpu.kte import soa
+    from reak_tpu.kte import lanes, soa
     from reak_tpu.ctrl.riccati import solve_box_mpc_riccati
     from reak_tpu.ctrl.riccati_soa import solve_box_mpc_riccati_soa
 
     H = problem.horizon
-    roll = soa.make_rollout_ltv_soa(spec, dt, H)
+
+    if rollout == "lanes" and qp_layout == "lanes":
+        roll_l = lanes.make_rollout_ltv_lanes(spec, dt, H)
+
+        def solve_batch_lanes(x0s, us_init):
+            us = us_init  # (B, H, m)
+            for _ in range(sqp_iters):
+                A_l, B_l, c_l, _ = roll_l(x0s, us)
+                ul, xl = solve_box_mpc_riccati_soa(
+                    A_l, B_l, c_l, problem.Q, problem.QN, problem.R,
+                    x0s.T, problem.u_min, problem.u_max, iters=qp_iters,
+                )
+                us = jnp.moveaxis(ul, -1, 0)
+            return us, jnp.moveaxis(xl, -1, 0)
+
+        return solve_batch_lanes
+
+    roll = (lanes.make_rollout_ltv_batchfirst(spec, dt, H)
+            if rollout == "lanes" else soa.make_rollout_ltv_soa(spec, dt, H))
 
     def solve_batch(x0s, us_init):
         us = us_init

@@ -5,12 +5,13 @@ prox_ccylinder_ccylinder.cpp, prox_plane_*.cpp, … — ~20 pair TUs; NLP
 fallback for the hard convex pairs prox_fundamentals_3D.hpp:57-264;
 aggregate dispatch proxy_query_model.hpp:51-196)
 
-Closed-form kernels return SIGNED distance (negative = penetration).  The
-"hard" convex pairs (box-box, cylinder-anything, capsule-box) dispatch to the
-alternating-projection solver in :mod:`reak_tpu.geom.convex` — exact for
-separated shapes, 0 on contact/penetration.  Everything broadcasts over
-leading batch axes; ``proxy_query`` evaluates ALL registered pairs of two
-ProxyModels in one fused batch — the planner collision inner loop.
+ALL kernels return SIGNED distance (negative = penetration depth).  The
+"hard" convex pairs (box-box, cylinder-anything, capsule-box) dispatch to
+:func:`reak_tpu.geom.convex.signed_pair`: alternating-projection closest
+points when separated, SAT-seeded support-function minimization for the
+penetration depth on overlap.  Everything broadcasts over leading batch
+axes; ``proxy_query`` evaluates ALL registered pairs of two ProxyModels in
+one fused batch — the planner collision inner loop.
 """
 from __future__ import annotations
 
@@ -21,7 +22,7 @@ import jax.numpy as jnp
 
 from reak_tpu.math import rotations as rot
 from reak_tpu.geom.shapes import Sphere, Capsule, Box, Cylinder, Plane, ShapeSet
-from reak_tpu.geom.convex import convex_pair
+from reak_tpu.geom.convex import convex_pair, signed_pair
 
 
 # ---------------------------------------------------------------------------
@@ -105,10 +106,10 @@ def dist_capsule_plane(c: Capsule, p: Plane):
 
 
 def dist_capsule_box(c: Capsule, b: Box, iters: int = 60):
-    """Exact capsule↔box via the alternating-projection convex solver (the
-    reference's pair needs an iterative NLP fallback,
-    prox_fundamentals_3D.hpp:57).  ≥ 0; returns 0 on contact/penetration."""
-    return convex_pair(c, b, iters).distance
+    """Exact capsule↔box via the convex solver (the reference's pair needs an
+    iterative NLP fallback, prox_fundamentals_3D.hpp:57).  Signed: POCS
+    closest points when separated, −penetration depth on overlap."""
+    return signed_pair(c, b).distance
 
 
 def dist_box_plane(b: Box, p: Plane):
@@ -121,9 +122,9 @@ def dist_box_plane(b: Box, p: Plane):
 
 
 def dist_box_box(b1: Box, b2: Box, iters: int = 60):
-    """Box↔box via the convex solver (ref: NLP fallback,
-    prox_fundamentals_3D.hpp:57-264)."""
-    return convex_pair(b1, b2, iters).distance
+    """Signed box↔box: SAT-seeded support minimization on overlap, POCS when
+    separated (ref: NLP/EPA fallback, prox_fundamentals_3D.hpp:57-264)."""
+    return signed_pair(b1, b2).distance
 
 
 def dist_point_cylinder(p, c: Cylinder):
@@ -163,18 +164,18 @@ def dist_cylinder_plane(c: Cylinder, p: Plane):
 
 
 def dist_cylinder_cylinder(c1: Cylinder, c2: Cylinder, iters: int = 60):
-    """(ref: prox_cylinder_cylinder — exact flat caps via convex solver)"""
-    return convex_pair(c1, c2, iters).distance
+    """(ref: prox_cylinder_cylinder — exact flat caps).  Signed."""
+    return signed_pair(c1, c2).distance
 
 
 def dist_cylinder_box(c: Cylinder, b: Box, iters: int = 60):
-    """(ref: prox_cylinder_box via NLP fallback)"""
-    return convex_pair(c, b, iters).distance
+    """(ref: prox_cylinder_box via NLP fallback).  Signed."""
+    return signed_pair(c, b).distance
 
 
 def dist_cylinder_capsule(c: Cylinder, cap: Capsule, iters: int = 60):
-    """Exact cylinder↔capsule via the convex solver."""
-    return convex_pair(c, cap, iters).distance
+    """Exact cylinder↔capsule via the convex solver.  Signed."""
+    return signed_pair(c, cap).distance
 
 
 # ---------------------------------------------------------------------------

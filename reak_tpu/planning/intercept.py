@@ -35,8 +35,16 @@ def intercept_plan(workspace, query: InterceptQuery, max_iters: int = 200,
                    batch: int = 16, dt_max: float = 0.5,
                    seed: int = 0) -> PlanResult:
     """Returns a PlanResult whose path rows are [t, q...] (time-stamped
-    waypoints); cost is the interception time."""
+    waypoints); cost is the interception time.
+
+    If ``workspace`` is temporal (has ``edge_free_txq_batch``, e.g.
+    TemporalChainWorkspace), edges are collision-checked against the moving
+    obstacles POSED AT EACH CHECKED TIME — the reference's dynamic planning
+    environment (manip_free_dynamic_workspace.hpp:60,111); otherwise the
+    static check is used.
+    """
     space = workspace.space
+    temporal = hasattr(workspace, "edge_free_txq_batch")
     start = np.asarray(query.start, np.float64)
     n = start.shape[-1]
     t0 = time.perf_counter()
@@ -85,7 +93,11 @@ def intercept_plan(workspace, query: InterceptQuery, max_iters: int = 200,
         reach = query.v_max * dt[:, None]
         new_q = space.clamp(src_q + dq * jnp.minimum(1.0, reach / (dqn + 1e-12)))
         new_t = src_t + dt
-        ok = workspace.edge_free_batch(src_q, new_q) & (new_t <= query.t_budget)
+        if temporal:
+            free = workspace.edge_free_txq_batch(src_t, src_q, new_t, new_q)
+        else:
+            free = workspace.edge_free_batch(src_q, new_q)
+        ok = free & (new_t <= query.t_budget)
         # goal: close to the target at arrival time (nearest tabulated point)
         tgt = target_pts[jnp.clip(
             jnp.searchsorted(target_t, new_t), 0, target_t.shape[0] - 1)]
@@ -156,6 +168,7 @@ def intercept_plan_1st_order(workspace, space1, query: RendezvousQuery,
     from reak_tpu.interp import pulses as pl_
 
     n = query.start_q.shape[-1]
+    temporal = hasattr(workspace, "is_free_txq_batch")
     speed = space1.speed
     a_ramp = space1.a_ramp
     t0 = time.perf_counter()
@@ -217,12 +230,19 @@ def intercept_plan_1st_order(workspace, space1, query: RendezvousQuery,
         new_q, new_qd, _ = pl_.svp_eval(src_q, q_s, src_qd, qd_s, vp, speed,
                                         Tprof, tau[:, None], a_ramp)
         new_t = src_t + tau
-        # collision: sample the swept position profile
+        # collision: sample the swept position profile; with a temporal
+        # workspace each sample is checked against obstacles posed at its
+        # absolute time (ref: manip_dynamic_env, proxy_traj_applicator)
         ts_chk = jnp.linspace(0.0, 1.0, n_checks)[:, None] * tau[None, :]
         pos_chk, _, _ = pl_.svp_eval(
             src_q[None], q_s[None], src_qd[None], qd_s[None],
             vp[None], speed, Tprof[None], ts_chk[..., None], a_ramp)
-        free = workspace.is_free_batch(pos_chk.reshape(-1, n))
+        if temporal:
+            abs_t = src_t[None, :] + ts_chk  # (n_checks, batch)
+            free = workspace.is_free_txq_batch(
+                abs_t.reshape(-1), pos_chk.reshape(-1, n))
+        else:
+            free = workspace.is_free_batch(pos_chk.reshape(-1, n))
         ok = jnp.all(free.reshape(n_checks, batch), axis=0)
         ok = ok & (new_t <= query.t_budget)
         # goal: within a reach-time ball of the target state at arrival time

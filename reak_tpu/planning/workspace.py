@@ -118,3 +118,91 @@ class ChainWorkspace(Workspace):
             return proxy_query(robot, self.env)
 
         return jax.vmap(one)(qs)
+
+
+class TemporalChainWorkspace(ChainWorkspace):
+    """Time-dependent manipulator workspace: moving obstacles are posed at
+    the QUERY TIME before collision checking, so validity is a predicate on
+    (t, q) — the reference's dynamic planning environment
+    (ref: manip_dynamic_env, manip_free_dynamic_workspace.hpp:60,111, with
+    the per-query-time proxy-model posing of proxy_traj_applicator.hpp).
+
+    ``moving``: list of ``(shapes_local, traj)`` where ``shapes_local`` is a
+    single-frame ShapeSet (all ``*_body`` indices 0) and ``traj`` is a
+    jax-traceable ``t → (pos (3,), quat (4,))`` rigid trajectory — e.g. the
+    tabulated maximum-likelihood trajectory of a belief predictor
+    (ctrl/predictor.py), the composition CRS_planner_dynexec.cpp:134-143
+    wires through its applicator.
+
+    The static (t-independent) checks inherited from ChainWorkspace evaluate
+    only against ``env``; planners that know about time call the
+    ``*_txq_batch`` forms.  ``is_free_batch`` retains the static-env-only
+    semantics so a temporal workspace can be dropped into a static planner
+    (which then ignores the moving bodies — exactly the round-2 failure mode
+    tests/test_temporal_workspace.py pins down).
+    """
+
+    def __init__(self, space, spec, robot_shapes: ShapeSet, env: ProxyModel,
+                 moving=(), margin: float = 0.0, n_checks: int = 16):
+        super().__init__(space, spec, robot_shapes, env, margin, n_checks)
+        self.moving = tuple(moving)
+
+        from reak_tpu import kte
+
+        def min_dist_one(t, q):
+            res = kte.fk(spec, q)
+            posed = pose_shapes(robot_shapes, res.body_pos, res.body_quat)
+            robot = ProxyModel(spheres=posed.spheres, capsules=posed.capsules,
+                               boxes=posed.boxes, cylinders=posed.cylinders)
+            d = proxy_query(robot, env)
+            for shapes_local, traj in self.moving:
+                pos, quat = traj(t)
+                posed_obs = pose_shapes(shapes_local, pos[None], quat[None])
+                obs = ProxyModel(
+                    spheres=posed_obs.spheres, capsules=posed_obs.capsules,
+                    boxes=posed_obs.boxes, cylinders=posed_obs.cylinders)
+                d = jnp.minimum(d, proxy_query(robot, obs))
+            return d
+
+        self._min_dist_txq = jax.jit(jax.vmap(min_dist_one))
+
+    def min_distance_txq_batch(self, ts, qs):
+        """Clearance of configurations ``qs (K, n)`` at times ``ts (K,)``
+        against static env + moving obstacles posed at each t."""
+        return self._min_dist_txq(ts, qs)
+
+    def is_free_txq_batch(self, ts, qs):
+        return self.min_distance_txq_batch(ts, qs) > self.margin
+
+    def edge_free_txq_batch(self, t0s, q0s, t1s, q1s):
+        """Time-parameterized straight edges: ``n_checks`` samples of
+        (t(s), q(s)) per edge, all in one device batch."""
+        ss = jnp.linspace(0.0, 1.0, self.n_checks)
+        qs = q0s[:, None, :] + ss[None, :, None] * (q1s - q0s)[:, None, :]
+        ts = t0s[:, None] + ss[None, :] * (t1s - t0s)[:, None]
+        free = self.is_free_txq_batch(ts.reshape(-1), qs.reshape(-1, qs.shape[-1]))
+        return jnp.all(free.reshape(qs.shape[0], self.n_checks), axis=-1)
+
+
+def rigid_traj_tabulated(ts, poss, quats):
+    """Build a jax-traceable rigid trajectory ``t → (pos, quat)`` from
+    tabulated samples (linear position / nlerp quaternion interpolation) —
+    the device-side analog of the reference's predicted-trajectory applicator
+    input (proxy_traj_applicator.hpp; belief trajectories arrive tabulated
+    from ctrl/predictor.py)."""
+    ts = jnp.asarray(ts)
+    poss = jnp.asarray(poss)
+    quats = jnp.asarray(quats)
+
+    def traj(t):
+        i = jnp.clip(jnp.searchsorted(ts, t) - 1, 0, ts.shape[0] - 2)
+        w = jnp.clip((t - ts[i]) / jnp.maximum(ts[i + 1] - ts[i], 1e-12),
+                     0.0, 1.0)
+        pos = poss[i] + w * (poss[i + 1] - poss[i])
+        q0, q1 = quats[i], quats[i + 1]
+        q1 = jnp.where(jnp.sum(q0 * q1) < 0, -q1, q1)
+        q = q0 + w * (q1 - q0)
+        q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+        return pos, q
+
+    return traj

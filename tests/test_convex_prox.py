@@ -57,10 +57,85 @@ class TestPairs:
         expect = 4.0 - np.sqrt(2.0) - 1.0
         assert abs(d - expect) < 1e-5
 
-    def test_box_box_overlap_is_zero(self):
+    def test_box_box_overlap_is_negative_depth(self):
+        """Overlapping boxes: signed distance = −(minimal translation)
+        (ref: findProximityByGJKEPA depth, prox_fundamentals_3D.hpp:57)."""
         b1 = _box([0.0, 0, 0], [1.0, 1, 1])
         b2 = _box([1.5, 0, 0], [1.0, 1, 1])
-        assert float(convex.dist_box_box(b1, b2)) < 1e-9
+        # x-overlap = 1+1−1.5 = 0.5 is the minimal translation
+        assert abs(float(convex.dist_box_box(b1, b2)) - (-0.5)) < 1e-6
+
+
+class TestSignedDepth:
+    """Penetration-depth branch of geom/convex.signed_pair (VERDICT r2 §4)."""
+
+    def test_box_box_axis_aligned_analytic(self):
+        # overlap extents: x: 1.6−1.3=…  compute per-axis mt and take min
+        b1 = _box([0.0, 0.0, 0.0], [1.0, 0.8, 0.6])
+        b2 = _box([1.3, 0.2, 0.1], [0.7, 0.9, 0.5])
+        mtx = 1.0 + 0.7 - 1.3   # 0.4
+        mty = 0.8 + 0.9 - 0.2   # 1.5
+        mtz = 0.6 + 0.5 - 0.1   # 1.0
+        depth = min(mtx, mty, mtz)
+        r = convex.signed_pair(b1, b2)
+        assert abs(float(r.distance) + depth) < 1e-6
+
+    def test_box_box_rotated_depth(self):
+        # 45°-rotated unit box centered above another: depth along z is
+        # analytic: top box corner reaches down to z = c_z − hz; overlap
+        # against top face z=1 of the lower box
+        q = rot.q_from_axis_angle(jnp.array([0.0, 0, 1.0]), jnp.pi / 4)
+        b1 = _box([0.0, 0, 0], [1.0, 1, 1])
+        b2 = _box([0.0, 0, 1.5], [1.0, 1, 1], quat=q)
+        r = convex.signed_pair(b1, b2)
+        assert abs(float(r.distance) + 0.5) < 1e-6
+
+    def test_separated_matches_pocs(self):
+        b1 = _box([0.0, 0, 0], [1.0, 1, 1])
+        b2 = _box([4.0, 0, 0], [1.0, 1, 1])
+        r = convex.signed_pair(b1, b2)
+        assert abs(float(r.distance) - 2.0) < 1e-6
+        np.testing.assert_allclose(np.asarray(r.point_a)[0], 1.0, atol=1e-6)
+
+    def test_sphere_sphere_depth_exact(self):
+        s1 = Sphere(jnp.array([0.0, 0, 0]), jnp.asarray(1.0))
+        s2 = Sphere(jnp.array([1.2, 0, 0]), jnp.asarray(0.5))
+        r = convex.signed_pair(s1, s2)
+        assert abs(float(r.distance) - (1.2 - 1.5)) < 1e-6
+
+    def test_cylinder_box_overlap_depth(self):
+        # axis-aligned: cylinder along z, radius .5, overlapping box side
+        c = Cylinder(jnp.array([1.2, 0.0, -1.0]), jnp.array([1.2, 0.0, 1.0]),
+                     jnp.asarray(0.5))
+        b = _box([0.0, 0, 0], [1.0, 1, 1])
+        # radial overlap along x: (1.0) − (1.2 − 0.5) = 0.3
+        d = convex.dist_cylinder_box(c, b)
+        assert abs(float(d) + 0.3) < 5e-3
+
+    def test_cylinder_cylinder_axial_depth(self):
+        c1 = Cylinder(jnp.array([0.0, 0, 0.0]), jnp.array([0.0, 0, 2.0]),
+                      jnp.asarray(0.5))
+        c2 = Cylinder(jnp.array([0.0, 0, 1.5]), jnp.array([0.0, 0, 3.5]),
+                      jnp.asarray(0.5))
+        # coaxial: radial translation 1.0 beats axial 0.5?  axial overlap
+        # = 0.5, radial mt = r1+r2 = 1.0 → depth 0.5 (axial)
+        d = convex.dist_cylinder_cylinder(c1, c2)
+        assert abs(float(d) + 0.5) < 5e-3
+
+    def test_depth_batched_jitted(self, rng):
+        centers = jnp.asarray(rng.uniform(-0.5, 0.5, (32, 3)))
+        b1 = Box(centers, jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (32, 4)),
+                 jnp.broadcast_to(jnp.array([1.0, 1, 1]), (32, 3)))
+        b2 = _box([0.0, 0, 0], [1.0, 1, 1])
+        b2 = Box(jnp.broadcast_to(b2.center, (32, 3)),
+                 jnp.broadcast_to(b2.quat, (32, 4)),
+                 jnp.broadcast_to(b2.half_extents, (32, 3)))
+        f = jax.jit(lambda a, b: convex.signed_pair(a, b).distance)
+        d = f(b1, b2)
+        assert d.shape == (32,)
+        # all overlapping: depth = 2 − max|Δ| along the best axis
+        expect = -(2.0 - np.max(np.abs(np.asarray(centers)), axis=1))
+        np.testing.assert_allclose(np.asarray(d), expect, atol=1e-5)
 
     def test_cylinder_cylinder_flat_caps(self):
         """Coaxial cylinders gap = axial separation — the case the capsule

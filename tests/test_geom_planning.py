@@ -190,6 +190,36 @@ def test_chain_workspace_collision():
     assert free[1]
 
 
+def test_chain_workspace_penetrating_pose_negative_clearance():
+    """A chain pose driving a link capsule THROUGH an obstacle box reports
+    clearance < 0 through the full ChainWorkspace stack — penetration depth
+    survives the aggregate min (ref: findProximityByGJKEPA depth,
+    prox_fundamentals_3D.hpp:57-264; VERDICT r2 item 4)."""
+    from reak_tpu.kte import models
+    from reak_tpu.geom.shapes import ShapeSet, Capsule, Box
+    from reak_tpu.geom.proximity import ProxyModel
+
+    spec = models.planar_2link(l1=0.4, l2=0.3)
+    robot = ShapeSet(
+        capsules=Capsule(
+            a=jnp.zeros((2, 3)),
+            b=jnp.array([[0.4, 0.0, 0.0], [0.3, 0.0, 0.0]]),
+            radius=jnp.array([0.05, 0.05]),
+        ),
+        capsule_body=jnp.array([0, 1]),
+    )
+    env = ProxyModel(boxes=Box(jnp.array([[0.55, 0.0, 0.0]]),
+                               jnp.array([[1.0, 0.0, 0.0, 0.0]]),
+                               jnp.array([[0.1, 0.1, 0.1]])))
+    space = sp.HyperboxSpace(jnp.full(2, -np.pi), jnp.full(2, np.pi))
+    ws = pl.ChainWorkspace(space, spec, robot, env, margin=0.0)
+    qs = jnp.array([[0.0, 0.0],          # arm along +x: capsule axis through box
+                    [np.pi / 2, 0.0]])   # arm along +y: clear
+    d = np.asarray(ws.min_distance_batch(qs))
+    assert d[0] < -0.05, f"expected penetration depth, got {d[0]}"
+    assert d[1] > 0.1
+
+
 # ---------------------------------------------------------------------------
 # bidirectional RRT (ref: rr_tree.hpp:256 generate_bidirectional_rrt)
 # ---------------------------------------------------------------------------
