@@ -53,3 +53,4 @@ __all__ = [
     "path_cost",
     "monte_carlo_engine",
 ]
+from reak_tpu.planning.sbastar_rrtstar import sbastar_rrtstar_plan

@@ -27,15 +27,23 @@ class _StarState(NamedTuple):
     count: jax.Array  # ()
 
 
-def _make_star_step(space, workspace, step_size, gamma, goal_bias, K=32):
+def _make_star_step(space, workspace, step_size, gamma, goal_bias, K=32,
+                    sampler=None):
+    """``sampler(state, goal, key) → (K, n)`` overrides the default
+    uniform+goal-bias draw — the hook the SBA*-RRT* hybrid uses to mix
+    density-guided local samples into the RRT* wave
+    (planning/sbastar_rrtstar.py)."""
     dist_fn = space.distance
 
     def step(state: _StarState, goal, key):
         cap, n = state.verts.shape
         k1, _ = jax.random.split(key)
-        samples = space.sample(k1, (K,))
-        n_bias = max(1, int(K * goal_bias))
-        samples = samples.at[:n_bias].set(goal)
+        if sampler is not None:
+            samples = sampler(state, goal, k1)
+        else:
+            samples = space.sample(k1, (K,))
+            n_bias = max(1, int(K * goal_bias))
+            samples = samples.at[:n_bias].set(goal)
 
         near_idx = _masked_nn(state.verts, state.count, samples, dist_fn)
         near = state.verts[near_idx]
