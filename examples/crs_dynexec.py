@@ -146,14 +146,37 @@ def main(argv=None):
         quat = rot.qnormalize(m[3:7])
         return np.asarray(ik.ik_3r3r(spec, p, quat, wrist=-1.0))
 
-    # ---- 5: intercept planning over the real collision stack ------------
+    # ---- 5: intercept planning over the real collision stack, with the
+    # TARGET BODY AS A MOVING OBSTACLE posed along its predicted trajectory
+    # until grapple (the reference's proxy_traj_applicator composition,
+    # manip_free_dynamic_workspace.hpp:60 + proxy_traj_applicator.hpp) -----
     space = sp.NdofSpace(jnp.full(6, -2.8), jnp.full(6, 2.8))
     env = ProxyModel(
         spheres=Sphere(jnp.array([[0.30, 0.25, 0.55]]), jnp.array([0.12])),
         planes=Plane(jnp.array([[0.0, 0.0, 1.0]]), jnp.array([-0.12])),
     )
-    ws = pl.ChainWorkspace(space, spec, chain_capsules(spec), env,
-                           margin=0.005, n_checks=8)
+    from reak_tpu.geom.shapes import ShapeSet
+    from reak_tpu.planning.workspace import (TemporalChainWorkspace,
+                                             rigid_traj_tabulated)
+
+    tgrid = np.arange(H + 1) * cfg["dt"]  # planner-relative times
+    target_body = ShapeSet(
+        spheres=Sphere(jnp.zeros((1, 3)), jnp.array([0.08])),
+        sphere_body=jnp.array([0]),
+    )
+    # the grapple fixture sits on the satellite's NEAR face: the body sphere
+    # is offset radially outward from the predicted grapple point, so the
+    # goal pose clears it while any sweep THROUGH the body is rejected
+    p_pred = traj.means[: H + 1, 0:3]
+    p_body = p_pred * (1.0 + 0.18 / jnp.linalg.norm(p_pred, axis=-1,
+                                                    keepdims=True))
+    target_rigid = rigid_traj_tabulated(
+        jnp.asarray(tgrid), p_body,
+        jax.vmap(rot.qnormalize)(traj.means[: H + 1, 3:7]),
+    )
+    ws = TemporalChainWorkspace(space, spec, chain_capsules(spec), env,
+                                moving=[(target_body, target_rigid)],
+                                margin=0.005, n_checks=8)
     iq = pl.InterceptQuery(start=jnp.zeros(6), target_traj=target_joint_traj,
                            t_budget=H * cfg["dt"], v_max=4.0, goal_tol=0.35)
     res = pl.intercept_plan(ws, iq, max_iters=cfg["max_iters"], batch=32,
@@ -161,8 +184,13 @@ def main(argv=None):
     if not res.success:
         print("no interception within the prediction horizon")
         return 1
+    path = np.asarray(res.path)
+    t_free = np.asarray(ws.is_free_txq_batch(jnp.asarray(path[:, 0]),
+                                             jnp.asarray(path[:, 1:])))
     print(f"intercept planned: t={res.cost:.2f}s, "
-          f"{res.path.shape[0]} waypoints, wall {res.wall_time_s:.2f}s")
+          f"{res.path.shape[0]} waypoints "
+          f"(all clear of the moving target body: {bool(t_free.all())}), "
+          f"wall {res.wall_time_s:.2f}s")
 
     # ---- 6: record the executed plan ------------------------------------
     if cfg["output"]:
