@@ -61,7 +61,14 @@ def build_step(horizon, m):
     return solver, nq
 
 
-def run_point(n_dev, horizon=20, batch_per_device=64, reps=3):
+HORIZON = int(os.environ.get("SCALING_HORIZON", "20"))
+BATCH_PER_DEV = int(os.environ.get("SCALING_BATCH_PER_DEVICE", "64"))
+QP_ITERS = 4
+REPS = int(os.environ.get("SCALING_REPS", "5"))
+
+
+def run_point(n_dev, horizon=HORIZON, batch_per_device=BATCH_PER_DEV,
+              reps=REPS):
     from jax import shard_map
 
     devs = jax.devices()[:n_dev]
@@ -107,6 +114,20 @@ def main():
         "unit": f"x{nmax}_vs_x1",
         "vs_baseline": round(eff[nmax] / 0.85, 3),
         "per_mesh": {str(n): round(e, 3) for n, e in eff.items()},
+        # full config metadata so successive rounds are comparable
+        # (VERDICT r2 item 9)
+        "config": {
+            "model": ("manip_3r3r" if os.environ.get("SCALING_REAL_TPU")
+                      else "planar_2link"),
+            "horizon": HORIZON,
+            "batch_per_device": BATCH_PER_DEV,
+            "qp_iters": QP_ITERS,
+            "sqp_iters": 1,
+            "reps": REPS,
+            "dtype": "float32",
+            "jax": jax.__version__,
+            "n_devices_available": len(jax.devices()),
+        },
         # on the virtual CPU mesh all "devices" share the same physical
         # cores, so efficiency measures host contention, not ICI scaling —
         # the number is only meaningful with SCALING_REAL_TPU=1 on a slice
