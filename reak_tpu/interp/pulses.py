@@ -114,20 +114,27 @@ def svp_peak_velocity(p0, p1, v0, v1, vmax, T, a_ramp=None):
         _, dt2 = _svp_ramp(vp, w1, a)
         return T - dt1 - dt2
 
-    tol = 1e-3 * vmax
+    # Root selection by MINIMAL CONSTRAINT VIOLATION instead of a thresholded
+    # first-valid cascade (the round-2 version accepted any root within
+    # 1e-3·vmax of validity, so near regime boundaries the selected root
+    # could be off at the tolerance scale).  Exact roots score ~float-eps;
+    # on a regime boundary the coinciding roots tie at 0; there is no
+    # accuracy-limiting tolerance left in the path.
+    def violation(vp, lo, hi, ok):
+        v = jnp.maximum(jnp.maximum(lo - vp, vp - hi), 0.0)
+        v = jnp.maximum(v, jnp.maximum(jnp.abs(vp) - vmax, 0.0))
+        v = jnp.maximum(v, jnp.maximum(-cruise_slack(vp), 0.0))
+        return jnp.where(ok & jnp.isfinite(vp), v, jnp.inf)
 
-    def valid(vp, lo_ok, hi_ok):
-        return (
-            (jnp.abs(vp) < 1.001 * vmax) & (cruise_slack(vp) >= -tol) & lo_ok & hi_ok
-        )
+    big = jnp.inf
 
     # regime 1: vp above both boundary velocities (ramp-up then ramp-down)
     b1 = w0 + w1 + a * T
-    disc1 = jnp.maximum(b1 * b1 - 4.0 * (a * dp + 0.5 * (w0 * w0 + w1 * w1)), 0.0)
-    r1_hi = 0.5 * (b1 + jnp.sqrt(disc1))
-    r1_lo = 0.5 * (b1 - jnp.sqrt(disc1))
-    ok1_hi = valid(r1_hi, r1_hi >= w0, r1_hi >= w1) & (disc1 >= 0)
-    ok1_lo = valid(r1_lo, r1_lo >= w0, r1_lo >= w1) & (disc1 >= 0)
+    disc1 = b1 * b1 - 4.0 * (a * dp + 0.5 * (w0 * w0 + w1 * w1))
+    sq1 = jnp.sqrt(jnp.maximum(disc1, 0.0))
+    r1_hi = 0.5 * (b1 + sq1)
+    r1_lo = 0.5 * (b1 - sq1)
+    lo1 = jnp.maximum(w0, w1)
 
     # regime 2: vp between the boundary velocities (linear equation)
     denom2 = a * T - jnp.abs(w1 - w0)
@@ -139,11 +146,6 @@ def svp_peak_velocity(p0, p1, v0, v1, vmax, T, a_ramp=None):
     )
     # NOTE the signed form: for w1>w0 (ramp-up/ramp-up) the traversed ramp
     # distance is (w1²−w0²)/2a; mirrored for w1<w0.
-    ok2 = valid(
-        r2,
-        r2 >= jnp.minimum(w0, w1),
-        r2 <= jnp.maximum(w0, w1),
-    ) & jnp.isfinite(r2)
 
     # regime 3: vp below both (ramp-down then ramp-up, possibly vp < 0)
     b3 = w0 + w1 - a * T
@@ -151,18 +153,22 @@ def svp_peak_velocity(p0, p1, v0, v1, vmax, T, a_ramp=None):
     sq3 = jnp.sqrt(jnp.maximum(disc3, 0.0))
     r3_hi = 0.5 * (b3 + sq3)
     r3_lo = 0.5 * (b3 - sq3)
-    ok3_hi = valid(r3_hi, r3_hi <= w0, r3_hi <= w1) & (disc3 >= 0)
-    ok3_lo = valid(r3_lo, r3_lo <= w0, r3_lo <= w1) & (disc3 >= 0)
+    hi3 = jnp.minimum(w0, w1)
 
-    vp = jnp.where(
-        ok1_hi,
-        r1_hi,
-        jnp.where(
-            ok1_lo,
-            r1_lo,
-            jnp.where(ok2, r2, jnp.where(ok3_hi, r3_hi, r3_lo)),
-        ),
-    )
+    cands = jnp.stack([r1_hi, r1_lo, r2, r3_hi, r3_lo])
+    viols = jnp.stack([
+        violation(r1_hi, lo1, big, disc1 >= 0),
+        violation(r1_lo, lo1, big, disc1 >= 0),
+        violation(r2, jnp.minimum(w0, w1), jnp.maximum(w0, w1),
+                  jnp.isfinite(r2)),
+        violation(r3_hi, -big, hi3, disc3 >= 0),
+        # r3_lo is the always-finite fallback root (matches the round-2
+        # cascade's final branch): cap its score so argmin lands here when
+        # every candidate is out-of-regime
+        jnp.minimum(violation(r3_lo, -big, hi3, disc3 >= 0), 1e30),
+    ])
+    pick = jnp.argmin(viols, axis=0)
+    vp = jnp.take_along_axis(cands, pick[None], axis=0)[0]
     trivial = (jnp.abs(dp) < _EPS) & (jnp.abs(w1 - w0) < _EPS)
     return s * jnp.where(trivial, w0, vp)
 

@@ -28,6 +28,8 @@ from reak_tpu.spaces.se3 import (
 from reak_tpu.spaces.temporal import TemporalSpace
 from reak_tpu.spaces.rate_limited import RateLimitedNdofSpace, joint_limits_mapping
 from reak_tpu.spaces.tangent import (
+    DifferentiableSpace,
+    make_differentiable_ndof,
     Ndof1stOrderSpace,
     Ndof2ndOrderSpace,
     NdofPoint1,
@@ -51,6 +53,8 @@ __all__ = [
     "TemporalSpace",
     "RateLimitedNdofSpace",
     "joint_limits_mapping",
+    "DifferentiableSpace",
+    "make_differentiable_ndof",
     "Ndof1stOrderSpace",
     "Ndof2ndOrderSpace",
     "NdofPoint1",

@@ -227,3 +227,110 @@ class ReachabilitySpace(TemporalSpace):
         if self._origin is None:
             raise ValueError("ReachabilitySpace needs an origin for reach norms")
         return self._origin
+
+
+# ---------------------------------------------------------------------------
+# generic order-N differentiable-space composition
+# ---------------------------------------------------------------------------
+
+
+class DifferentiableSpace:
+    """Order-N tangent bundle over ARBITRARY per-level spaces.
+
+    (ref: ctrl/topologies/differentiable_space.hpp:220 — the recursive
+    ``differentiable_space<TimeTopology, tuple<S0, S1, …, SN>>`` template:
+    any base space composed with a tuple of derivative spaces, each level
+    linked to the next by time differentiation.)
+
+    TPU-native collapse: a point is a TUPLE of per-level points (x0 … xN);
+    every operation delegates level-wise (one fused device expression — the
+    reference's compile-time recursion becomes a Python loop folded at trace
+    time).  The hand-rolled Ndof1stOrderSpace/Ndof2ndOrderSpace above remain
+    the rate-limited *metric* specializations (SVP/SAP reach time); this
+    class supplies the COMPOSITION machinery for arbitrary order and
+    arbitrary level spaces (vector, SO(3), SE(3), products, …).
+
+    ``distance`` is the weighted-L2 aggregate of per-level distances
+    (metric_space_tuple semantics, the reference's default tuple distance);
+    ``lift``/``lower_order`` move points between orders using each level's
+    ``difference`` as the differentiation rule.
+    """
+
+    def __init__(self, spaces, weights=None):
+        self.spaces = tuple(spaces)
+        self.weights = (tuple(float(w) for w in weights) if weights is not None
+                        else (1.0,) * len(self.spaces))
+        if len(self.weights) != len(self.spaces):
+            raise ValueError("one weight per level")
+
+    @property
+    def order(self) -> int:
+        return len(self.spaces) - 1
+
+    def sample(self, key, batch=()):
+        keys = jax.random.split(key, len(self.spaces))
+        return tuple(s.sample(k, batch) for s, k in zip(self.spaces, keys))
+
+    def distance(self, a, b):
+        d2 = 0.0
+        for w, s, ai, bi in zip(self.weights, self.spaces, a, b):
+            d2 = d2 + w * s.distance(ai, bi) ** 2
+        return jnp.sqrt(d2)
+
+    def interpolate(self, a, b, t):
+        return tuple(s.interpolate(ai, bi, t)
+                     for s, ai, bi in zip(self.spaces, a, b))
+
+    def difference(self, a, b):
+        return tuple(s.difference(ai, bi)
+                     for s, ai, bi in zip(self.spaces, a, b))
+
+    def clamp(self, p):
+        return tuple(s.clamp(pi) for s, pi in zip(self.spaces, p))
+
+    # -- differentiation links (per-level rules) ---------------------------
+    def lift(self, p_prev, p_now, dt):
+        """Estimate the order-(N) coordinates of a trajectory sampled at two
+        instants: level k+1 of the result is the finite-difference rate of
+        level k (each level's own ``difference`` supplies the rule — e.g.
+        SO(3) yields a body angular velocity).  Level 0 is taken from
+        ``p_now``.  (ref: differentiable_space.hpp lift_to_space /
+        get_space_derivative.)"""
+        out = [p_now[0]]
+        for k in range(len(self.spaces) - 1):
+            d = self.spaces[k].difference(p_now[k], p_prev[k])
+            out.append(jax.tree.map(lambda x: x / dt, d))
+        return tuple(out)
+
+    def lower_order(self, p):
+        """Drop the highest derivative level (descend the bundle)."""
+        return tuple(p[:-1])
+
+    def flow(self, p, dt):
+        """First-order explicit flow: advance each level k by dt·level k+1 —
+        the canonical time-differentiation link between levels (the top
+        level holds).  Vector-space levels only (uses tree arithmetic)."""
+        out = []
+        for k, s in enumerate(self.spaces):
+            if k + 1 < len(self.spaces):
+                out.append(jax.tree.map(lambda x, v: x + dt * v,
+                                        p[k], p[k + 1]))
+            else:
+                out.append(p[k])
+        return tuple(self.spaces[k].clamp(out[k]) for k in range(len(out)))
+
+
+def make_differentiable_ndof(lower, upper, bounds, weights=None):
+    """Order-N N-DoF bundle: level 0 in [lower, upper], level k bounded by
+    ±bounds[k-1] (velocity, acceleration, jerk, …) — arbitrary order, the
+    generic composition the reference builds with Ndof_*_order_space
+    typedef chains (Ndof_spaces.hpp:138 + differentiable_space.hpp:220)."""
+    from reak_tpu.spaces.vector import HyperboxSpace
+
+    lower = jnp.asarray(lower)
+    upper = jnp.asarray(upper)
+    spaces = [HyperboxSpace(lower, upper)]
+    for b in bounds:
+        b = jnp.broadcast_to(jnp.asarray(b), lower.shape)
+        spaces.append(HyperboxSpace(-b, b))
+    return DifferentiableSpace(spaces, weights)

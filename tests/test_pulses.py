@@ -206,3 +206,31 @@ class TestSAP:
         posT, velT, _, _ = pl.sap_interpolate(p0, v, p1, v, vmax, amax, T)
         np.testing.assert_allclose(posT, p1, atol=5e-3)
         np.testing.assert_allclose(velT, v, atol=1e-7)
+
+
+def test_svp_timed_stretch_endpoint_consistency_near_boundaries(rng):
+    """Minimal-violation root selection (r3 fix of the r2 1e-3·vmax
+    tolerance): stretched profiles must land exactly on (p1, v1) at T,
+    including stretches within ~1e-6 of the min-time regime boundary."""
+    import jax.numpy as jnp
+    from reak_tpu.interp import pulses as pl
+
+    vmax, a = 1.3, 2.1
+    p0 = jnp.asarray(rng.uniform(-1, 1, 256))
+    p1 = jnp.asarray(rng.uniform(-1, 1, 256))
+    v0 = jnp.asarray(rng.uniform(-0.9 * vmax, 0.9 * vmax, 256))
+    v1 = jnp.asarray(rng.uniform(-0.9 * vmax, 0.9 * vmax, 256))
+    Tmin, _ = pl.svp_min_time(p0, p1, v0, v1, vmax, a)
+    # stretches within every instance's single-pulse feasibility window
+    # (large stretches with same-sign boundary velocities and tiny
+    # displacement have no single-peak profile at all — a structural SVP
+    # property, not a solver tolerance; the r2 issue was accuracy NEAR the
+    # min-time regime boundary, which these factors bracket)
+    for stretch in (1.0 + 1e-6, 1.0001, 1.001, 1.01, 1.2):
+        T = Tmin * stretch + 1e-9
+        vp = pl.svp_peak_velocity(p0, p1, v0, v1, vmax, T, a)
+        pos, vel, _ = pl.svp_eval(p0, p1, v0, v1, vp, vmax, T, T, a)
+        np.testing.assert_allclose(np.asarray(pos), np.asarray(p1),
+                                   atol=5e-7, err_msg=f"stretch={stretch}")
+        np.testing.assert_allclose(np.asarray(vel), np.asarray(v1),
+                                   atol=5e-7, err_msg=f"stretch={stretch}")

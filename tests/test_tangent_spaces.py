@@ -194,3 +194,63 @@ class TestRendezvous:
         np.testing.assert_allclose(res.path[0, 3:5], 0.0, atol=1e-9)
         # all waypoint velocities within the speed limit
         assert float(jnp.max(jnp.abs(res.path[:, 3:5]))) <= 1.5 + 1e-6
+
+
+class TestDifferentiableSpace:
+    """Generic order-N composition (ref differentiable_space.hpp:220;
+    VERDICT r2 missing item 7)."""
+
+    def test_order3_ndof_bundle(self, rng):
+        import jax
+        from reak_tpu.spaces import make_differentiable_ndof
+
+        sp3 = make_differentiable_ndof(
+            jnp.zeros(2), jnp.ones(2) * 4.0,
+            bounds=[jnp.ones(2) * 2.0, jnp.ones(2) * 5.0, jnp.ones(2) * 9.0])
+        assert sp3.order == 3
+        a = sp3.sample(jax.random.PRNGKey(0))
+        b = sp3.sample(jax.random.PRNGKey(1))
+        assert len(a) == 4
+        d = float(sp3.distance(a, b))
+        assert d > 0 and np.isfinite(d)
+        mid = sp3.interpolate(a, b, 0.5)
+        # level-wise lerp for hyperbox levels
+        for k in range(4):
+            np.testing.assert_allclose(np.asarray(mid[k]),
+                                       0.5 * (np.asarray(a[k]) + np.asarray(b[k])),
+                                       atol=1e-12)
+        np.testing.assert_allclose(float(sp3.distance(a, a)), 0.0, atol=1e-12)
+
+    def test_heterogeneous_levels_so3(self):
+        """Order-1 bundle over SO(3) x R^3: level differentiation via the
+        base space's own difference rule (body angular velocity)."""
+        import jax
+        from reak_tpu.spaces import DifferentiableSpace, SO3Space, HyperboxSpace
+        from reak_tpu.math import rotations as rot
+
+        so3 = SO3Space()
+        w_space = HyperboxSpace(-jnp.ones(3) * 3.0, jnp.ones(3) * 3.0)
+        bundle = DifferentiableSpace([so3, w_space])
+        assert bundle.order == 1
+        # lift: finite-difference of a rotating trajectory recovers omega
+        w_true = jnp.array([0.3, -0.2, 0.5])
+        dt = 1e-3
+        q0 = rot.q_from_axis_angle(jnp.array([0.0, 0, 1.0]), 0.4)
+        q1 = rot.qmul(q0, rot.q_exp(w_true * dt))
+        p_prev = (q0, jnp.zeros(3))
+        p_now = (q1, jnp.zeros(3))
+        lifted = bundle.lift(p_prev, p_now, dt)
+        np.testing.assert_allclose(np.asarray(lifted[1]), np.asarray(w_true),
+                                   rtol=1e-3, atol=1e-5)
+
+    def test_flow_advances_levels(self):
+        from reak_tpu.spaces import make_differentiable_ndof
+
+        sp2 = make_differentiable_ndof(
+            -jnp.ones(1) * 10, jnp.ones(1) * 10,
+            bounds=[jnp.ones(1) * 5.0, jnp.ones(1) * 5.0])
+        p = (jnp.array([1.0]), jnp.array([2.0]), jnp.array([0.5]))
+        p1 = sp2.flow(p, 0.1)
+        np.testing.assert_allclose(np.asarray(p1[0]), [1.2], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(p1[1]), [2.05], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(p1[2]), [0.5], atol=1e-12)
