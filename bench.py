@@ -3,10 +3,27 @@
 horizon H=50 (BASELINE.json north star; target ≥ 5000 solves/s/chip).
 
 One "solve" = the full per-scenario pipeline on device:
-  fused nonlinear KTE rollout + LTV linearization (batch-in-lanes SoA core)
-  → Riccati-recursion interior-point box-QP (Mehrotra, 8 iterations).
+  fused Pallas step-core rollout + LTV linearization (ops/kte_core_pallas.py)
+  → scan-fused Riccati interior-point box-QP (Mehrotra, 8 iterations).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Accounting (VERDICT r2 item 1):
+  * phase_ms — rollout+linearize vs PDIP, measured separately with
+    amortized-sync timing (chained async calls, ONE device pull at the end:
+    per-rep scalar pulls through the tunneled backend add ~50-100 ms of link
+    latency that is NOT device time);
+  * flops_per_solve — per-STEP XLA cost analysis of the loop-free step /
+    iteration bodies (XLA's cost model undercounts `scan` bodies, so each
+    body is compiled standalone and multiplied by its trip count);
+  * est_mfu — achieved FLOP/s vs the 197 TFLOP/s v5e bf16 MXU peak (the
+    standard MFU denominator) and vs the ~3.9 TFLOP/s f32 VPU peak, which is
+    where this elementwise-dominated pipeline actually executes;
+  * hbm_gbps — analytic per-solve HBM traffic (array reads/writes of the
+    scan-carried sequences; formula in _hbm_bytes_per_solve) over wall time.
+
+Also writes PALLAS_r03.json: on-hardware numerics of both Pallas kernels
+(lanes Cholesky + fused KTE step core) vs their XLA fallbacks.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import os
@@ -16,25 +33,60 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compile cache: cold SoA-rollout compiles take minutes on the
+# persistent compile cache: cold fused-kernel compiles take ~1 min on the
 # tunneled TPU; warm runs hit the cache
 jax.config.update("jax_compilation_cache_dir", os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
+V5E_BF16_PEAK = 197e12   # MXU peak, the standard MFU denominator
+V5E_VPU_F32_PEAK = 3.9e12  # 8x128 lanes x 4 ALUs x ~0.94 GHz (elementwise)
+V5E_HBM_BPS = 819e9
+
+
+def amortized(fn, args, reps):
+    """Chained async calls + one forced scalar pull (relay-safe timing)."""
+    s = float(fn(*args))  # compile + full sync
+    assert np.isfinite(s)
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = fn(*args)
+    s = float(out)  # drains the device queue
+    assert np.isfinite(s)
+    return (time.perf_counter() - t0) / reps
+
+
+def _hbm_bytes_per_solve(H, n, m, iters):
+    """Analytic main-memory traffic per scenario per solve (f32):
+    rollout writes (A, B, c, x) once; each PDIP iteration re-reads (A, B)
+    in 4 scans, stage data in 2, and streams (K, G, k, grad, du, dx) —
+    intermediate fusions excluded (lower bound on traffic)."""
+    f = 4  # bytes per f32
+    roll = H * (n * n + n * m + 2 * n) * f
+    per_iter = (
+        4 * H * (n * n + n * m) * f        # A,B read by 4 scans
+        + 2 * H * (2 * n + 2 * m) * f      # qs/u/D/z reads
+        + H * (m * n + m * m + 4 * m) * f  # K,G,k,grad writes
+        + H * (2 * m + n) * f              # du, dx
+    )
+    return roll + iters * per_iter
+
 
 def main():
-    from reak_tpu.kte import models
+    from reak_tpu.kte import models, lanes
     from reak_tpu.ctrl import mpc
+    from reak_tpu.ctrl.riccati_soa import solve_box_mpc_riccati_soa_fused
+    from reak_tpu.ops import chol_lanes, kte_core_pallas
 
     horizon = int(os.environ.get("BENCH_HORIZON", 50))
-    batch = int(os.environ.get("BENCH_BATCH", 1024))
+    batch = int(os.environ.get("BENCH_BATCH", 8192))
     qp_iters = int(os.environ.get("BENCH_QP_ITERS", 8))
-    reps = int(os.environ.get("BENCH_REPS", 5))
+    reps = int(os.environ.get("BENCH_REPS", 10))
     dt = 0.01
+    n, m = 12, 6
 
     spec = models.manip_3r3r()
-    m = 6
     prob = mpc.MPCProblem(
         Q=jnp.diag(jnp.concatenate([jnp.full(6, 10.0), jnp.full(6, 1.0)])),
         R=jnp.eye(m) * 0.05,
@@ -45,8 +97,6 @@ def main():
     )
 
     solver = mpc.make_kte_mpc(spec, prob, dt, qp_iters=qp_iters, sqp_iters=1)
-    # reduce outputs to a scalar so timing forces full execution through the
-    # device tunnel (block_until_ready alone under-syncs on relayed backends)
     step = jax.jit(lambda x0, u0: jnp.sum(solver(x0, u0)[0]))
 
     rng = np.random.default_rng(0)
@@ -59,16 +109,87 @@ def main():
     )
     u0 = jnp.zeros((batch, horizon, m), jnp.float32)
 
-    # warmup / compile
-    s = float(step(x0, u0))
-    assert np.isfinite(s)
+    t_full = amortized(step, (x0, u0), reps)
+    solves_per_s = batch / t_full
 
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        s = float(step(x0, u0))
-    dt_total = time.perf_counter() - t0
+    # ---- phase split -----------------------------------------------------
+    on_tpu = jax.default_backend() not in ("cpu",)
+    roll = (lanes.make_rollout_ltv_fused(spec, dt, horizon)
+            if on_tpu and batch % kte_core_pallas._TILE == 0
+            else lanes.make_rollout_ltv_lanes(spec, dt, horizon))
+    f_roll = jax.jit(lambda x, u: sum(jnp.sum(o) for o in roll(x, u)))
+    t_roll = amortized(f_roll, (x0, u0), reps)
+    A_l, B_l, c_l, _ = jax.jit(roll)(x0, u0)
+    f_pdip = jax.jit(lambda A, Bm, c, xT: jnp.sum(
+        solve_box_mpc_riccati_soa_fused(
+            A, Bm, c, prob.Q, prob.QN, prob.R, xT, prob.u_min, prob.u_max,
+            iters=qp_iters)[0]))
+    t_pdip = amortized(f_pdip, (A_l, B_l, c_l, x0.T), reps)
 
-    solves_per_s = batch * reps / dt_total
+    # ---- analytic FLOPs: per-step cost analysis x trip counts -------------
+    flops_per_solve = float("nan")
+    try:
+        # H=1 rollout is the loop-free step body; PDIP per-iteration flops
+        # from the iters=2 − iters=1 difference (removes the shared pre/post)
+        roll1 = (lanes.make_rollout_ltv_fused(spec, dt, 1)
+                 if on_tpu and batch % kte_core_pallas._TILE == 0
+                 else lanes.make_rollout_ltv_lanes(spec, dt, 1))
+        ca_roll = jax.jit(roll1).lower(x0, u0[:, :1]).compile().cost_analysis()
+        f_pdip1 = jax.jit(lambda A, Bm, c, xT: jnp.sum(
+            solve_box_mpc_riccati_soa_fused(
+                A, Bm, c, prob.Q, prob.QN, prob.R, xT, prob.u_min,
+                prob.u_max, iters=1)[0]))
+        f_pdip2 = jax.jit(lambda A, Bm, c, xT: jnp.sum(
+            solve_box_mpc_riccati_soa_fused(
+                A, Bm, c, prob.Q, prob.QN, prob.R, xT, prob.u_min,
+                prob.u_max, iters=2)[0]))
+        ca1 = f_pdip1.lower(A_l, B_l, c_l, x0.T).compile().cost_analysis()
+        ca2 = f_pdip2.lower(A_l, B_l, c_l, x0.T).compile().cost_analysis()
+        fl_roll_step = ca_roll.get("flops", float("nan"))
+        fl_iter = ca2.get("flops", float("nan")) - ca1.get("flops", float("nan"))
+        fl_base = ca1.get("flops", float("nan")) - fl_iter
+        flops_per_solve = (horizon * fl_roll_step
+                           + qp_iters * fl_iter + fl_base) / batch
+    except Exception:
+        pass
+
+    achieved_flops = flops_per_solve * solves_per_s
+    bytes_per_solve = _hbm_bytes_per_solve(horizon, n, m, qp_iters)
+    hbm_gbps = bytes_per_solve * solves_per_s / 1e9
+    roofline_solves = V5E_HBM_BPS / bytes_per_solve
+
+    # ---- Pallas kernel parity artifact ------------------------------------
+    try:
+        G = jnp.asarray(rng.standard_normal((6, 6, 1024)), jnp.float32)
+        G = jnp.einsum("ikz,jkz->ijz", G, G) \
+            + 3.0 * jnp.eye(6, dtype=jnp.float32)[:, :, None]
+        rhs = jnp.asarray(rng.standard_normal((6, 18, 1024)), jnp.float32)
+        out_k = jax.jit(lambda g, r: chol_lanes.solve_lanes_multi(g, r))(G, rhs)
+        ref = jnp.linalg.solve(jnp.moveaxis(G, -1, 0), jnp.moveaxis(rhs, -1, 0))
+        err_chol = float(jnp.max(jnp.abs(jnp.moveaxis(out_k, -1, 0) - ref)))
+
+        xk = x0[:1024].T
+        uk = u0[:1024, 0, :].T
+        core_k = jax.jit(kte_core_pallas.make_core_lanes(spec))
+        core_x = jax.jit(kte_core_pallas.make_core_lanes_xla(spec))
+        errs = [float(jnp.max(jnp.abs(a - b)))
+                for a, b in zip(core_k(xk, uk), core_x(xk, uk))]
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "PALLAS_r03.json"), "w") as f:
+            json.dump({
+                "backend": jax.default_backend(),
+                "device": str(jax.devices()[0]),
+                "chol_lanes.solve_lanes_multi": {
+                    "shape": "G(6,6,1024) rhs(6,18,1024)", "dtype": "float32",
+                    "max_err_vs_f32_solve": err_chol},
+                "kte_core_pallas.make_core_lanes": {
+                    "shape": "x(12,1024) u(6,1024)", "dtype": "float32",
+                    "max_err_vs_xla_fallback": {
+                        "qdd": errs[0], "dqdd": errs[1], "minv": errs[2]}},
+            }, f, indent=1)
+    except Exception:
+        pass
+
     target = 5000.0
     print(
         json.dumps(
@@ -77,6 +198,22 @@ def main():
                 "value": round(solves_per_s, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / target, 3),
+                "phase_ms": {"rollout_linearize": round(t_roll * 1e3, 2),
+                             "riccati_pdip": round(t_pdip * 1e3, 2),
+                             "full": round(t_full * 1e3, 2)},
+                "flops_per_solve": None if np.isnan(flops_per_solve)
+                else round(flops_per_solve),
+                "est_mfu_vs_bf16_peak": None if np.isnan(achieved_flops)
+                else round(achieved_flops / V5E_BF16_PEAK, 5),
+                "est_util_vs_vpu_f32_peak": None if np.isnan(achieved_flops)
+                else round(achieved_flops / V5E_VPU_F32_PEAK, 4),
+                "hbm_gbps_analytic": round(hbm_gbps, 1),
+                "pct_of_hbm_roofline": round(
+                    100.0 * solves_per_s / roofline_solves, 2),
+                "config": {"batch": batch, "horizon": horizon,
+                           "qp_iters": qp_iters, "reps": reps,
+                           "dtype": "float32",
+                           "backend": jax.default_backend()},
             }
         )
     )

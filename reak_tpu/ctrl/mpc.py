@@ -234,7 +234,7 @@ def solve(
 
 def make_kte_mpc(spec, problem: MPCProblem, dt: float, qp_iters: int = 8,
                  sqp_iters: int = 1, qp_layout: str = "lanes",
-                 rollout: str = "lanes"):
+                 rollout: str = "auto"):
     """Fused batched MPC solver for a fixed-base KTE chain — the TPU fast path.
 
     Composes the batch-in-lanes rollout+linearization with the Riccati
@@ -242,6 +242,13 @@ def make_kte_mpc(spec, problem: MPCProblem, dt: float, qp_iters: int = 8,
     → (us (B, H, m), xs (B, H, 2nv))``.  Wrap in jax.jit.
 
     ``rollout``:
+      - "auto" (default): "fused" when the batch tiles the Pallas kernel
+        (multiple of 512) on a TPU backend, else "lanes" — so the same
+        solver object serves the TPU bench and small-batch/CPU callers.
+      - "fused": step core in ONE Pallas kernel (ops/kte_core_pallas.py —
+        the SURVEY §2.24 fused assembly+factor kernel), series tail in XLA,
+        lanes-native output.  The TPU bench path; batch must be a multiple
+        of the kernel tile (512).
       - "lanes" (default): dense-lanes rollout (kte/lanes.py) — identical
         math to the register form but a ~100× smaller HLO graph (seconds
         instead of minutes of XLA compile) and lanes-native output, so the
@@ -259,18 +266,33 @@ def make_kte_mpc(spec, problem: MPCProblem, dt: float, qp_iters: int = 8,
     """
     from reak_tpu.kte import lanes, soa
     from reak_tpu.ctrl.riccati import solve_box_mpc_riccati
-    from reak_tpu.ctrl.riccati_soa import solve_box_mpc_riccati_soa
+    from reak_tpu.ctrl.riccati_soa import (solve_box_mpc_riccati_soa,
+                                           solve_box_mpc_riccati_soa_fused)
 
     H = problem.horizon
 
-    if rollout == "lanes" and qp_layout == "lanes":
-        roll_l = lanes.make_rollout_ltv_lanes(spec, dt, H)
+    if rollout in ("lanes", "fused", "auto") and qp_layout == "lanes":
+        from reak_tpu.ops import kte_core_pallas as kcp
+
+        roll_fused = lanes.make_rollout_ltv_fused(spec, dt, H)
+        roll_lanes = lanes.make_rollout_ltv_lanes(spec, dt, H)
+
+        def pick_roll(B):
+            if rollout == "lanes":
+                return roll_lanes
+            tiled = B % kcp._TILE == 0
+            on_tpu = jax.default_backend() not in ("cpu",)
+            if rollout == "fused":
+                return roll_fused if tiled else roll_lanes
+            return roll_fused if (tiled and (on_tpu or kcp.FORCE_INTERPRET)) \
+                else roll_lanes
 
         def solve_batch_lanes(x0s, us_init):
+            roll_l = pick_roll(x0s.shape[0])
             us = us_init  # (B, H, m)
             for _ in range(sqp_iters):
                 A_l, B_l, c_l, _ = roll_l(x0s, us)
-                ul, xl = solve_box_mpc_riccati_soa(
+                ul, xl = solve_box_mpc_riccati_soa_fused(
                     A_l, B_l, c_l, problem.Q, problem.QN, problem.R,
                     x0s.T, problem.u_min, problem.u_max, iters=qp_iters,
                 )

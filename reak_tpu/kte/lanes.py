@@ -243,6 +243,66 @@ def make_rollout_ltv_lanes(spec: ChainSpec, dt: float, horizon: int,
     return rollout
 
 
+def make_rollout_ltv_fused(spec: ChainSpec, dt: float, horizon: int,
+                           order: int = 4, tile: int = None,
+                           interpret: bool = None):
+    """Rollout + LTV with the step core in ONE fused Pallas kernel
+    (ops/kte_core_pallas.py — the SURVEY §2.24 twist-shaping + mass-assembly
+    + factor + linearize kernel); the exponential-series tail and output
+    stacking stay in XLA (a handful of (n, n, B) lanes matmuls).
+
+    Same contract as make_rollout_ltv_lanes: ``fn(x0 (B, n), us (B, H, m)) →
+    (A (H,n,n,B), B (H,n,m,B), c (H,n,B), xs (H,n,B))``.  B must be a
+    multiple of the kernel tile (512).
+    """
+    from reak_tpu.ops import kte_core_pallas as kcp
+    from reak_tpu.ctrl.riccati_soa import _mm, _mv
+
+    nv = spec.nv
+    n = 2 * nv
+    if tile is None:
+        tile = kcp._TILE
+    core = kcp.make_core_lanes(spec, tile=tile, interpret=interpret)
+
+    def step(x, u):
+        """x (n, B), u (nv, B) → lanes-layout LTV blocks + next state."""
+        dtype = x.dtype
+        qd = x[nv:]
+        qdd, dqdd, minv = core(x, u)
+        top = jnp.concatenate(
+            [jnp.zeros((nv, nv), dtype), jnp.eye(nv, dtype=dtype)], axis=1
+        )[:, :, None]
+        A_c = jnp.concatenate(
+            [jnp.broadcast_to(top, (nv, n) + x.shape[1:]), dqdd], axis=0)
+        B_c = jnp.concatenate(
+            [jnp.zeros((nv, nv) + x.shape[1:], dtype), minv], axis=0)
+        f0 = jnp.concatenate([qd, qdd], axis=0)
+        eye_n = jnp.eye(n, dtype=dtype)[:, :, None]
+        S = eye_n * dt
+        term = eye_n * dt
+        for k in range(2, order + 1):
+            term = (dt / k) * _mm(A_c, term)
+            S = S + term
+        Ad = eye_n + _mm(A_c, S)
+        Bd = _mm(S, B_c)
+        x_new = x + _mv(S, f0)
+        cd = x_new - _mv(Ad, x) - _mv(Bd, u)
+        return Ad, Bd, cd, x_new
+
+    def rollout(x0, us):
+        x = x0.T
+        us_t = jnp.moveaxis(us, 0, -1)
+
+        def body(x, u_t):
+            Ad, Bd, cd, x_new = step(x, u_t)
+            return x_new, (Ad, Bd, cd, x_new)
+
+        _, seqs = jax.lax.scan(body, x, us_t)
+        return seqs
+
+    return rollout
+
+
 def make_rollout_ltv_batchfirst(spec: ChainSpec, dt: float, horizon: int,
                                 order: int = 4):
     """Batch-first wrapper with the kte/soa.make_rollout_ltv_soa signature:

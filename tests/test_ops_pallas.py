@@ -139,3 +139,41 @@ def test_bench_hot_path_executes_pallas_kernel():
         chol_lanes.FORCE_INTERPRET = False
     u_ref, _ = jax.jit(solver)(x0, us)
     np.testing.assert_allclose(u_pallas, np.asarray(u_ref), atol=5e-4)
+
+
+def test_fused_rollout_jaxpr_contains_pallas_core():
+    """The bench path's fused rollout really routes through the Pallas
+    step-core kernel (jaxpr-asserted, VERDICT r2 item 1 'Done' bar)."""
+    import jax
+    import jax.numpy as jnp
+    from reak_tpu.kte import models, lanes
+
+    spec = models.manip_3r3r()
+    roll = lanes.make_rollout_ltv_fused(spec, 0.01, 2)
+    x0 = jnp.zeros((512, 12), jnp.float32)
+    us = jnp.zeros((512, 2, 6), jnp.float32)
+    jaxpr = str(jax.make_jaxpr(roll)(x0, us))
+    assert "pallas_call" in jaxpr
+
+
+@pytest.mark.slow  # XLA-CPU needs minutes to compile the interpret-mode body
+def test_fused_core_kernel_matches_xla_fallback_interpret(rng):
+    """Kernel-vs-fallback numerics in interpret mode (CPU); the on-hardware
+    counterpart is recorded by bench.py into PALLAS_r03.json."""
+    import jax
+    import jax.numpy as jnp
+    from reak_tpu.kte import models
+    from reak_tpu.ops import kte_core_pallas as kcp
+
+    spec = models.manip_3r3r()
+    B = 4
+    x = jnp.asarray(rng.uniform(-0.5, 0.5, (12, B)))
+    u = jnp.asarray(rng.uniform(-5, 5, (6, B)))
+    out_k = jax.jit(kcp.make_core_lanes(spec, tile=4, interpret=True))(x, u)
+    out_x = jax.jit(kcp.make_core_lanes_xla(spec))(x, u)
+    for a, b in zip(out_k[:2], out_x[:2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-10)
+    # minv rows broadcast in the fallback; compare values
+    np.testing.assert_allclose(np.asarray(out_k[2]), np.asarray(out_x[2]),
+                               rtol=1e-9, atol=1e-10)

@@ -86,3 +86,33 @@ def test_make_kte_mpc_layouts_agree(rng):
                                atol=1e-8, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(x_l), np.asarray(x_v),
                                atol=1e-8, rtol=1e-6)
+
+
+def test_fused_pdip_matches_unfused_f64(rng):
+    """Scan-fused Mehrotra PDIP (4 scans/iter) is numerically identical to
+    the 7-scan version, including x_ref/u_ref tracking (VERDICT r2 item 1
+    'fuse what dominates')."""
+    from reak_tpu.ctrl.riccati_soa import (solve_box_mpc_riccati_soa,
+                                           solve_box_mpc_riccati_soa_fused)
+
+    H, n, m, B = 12, 4, 2, 5
+    A = jnp.asarray(rng.standard_normal((H, n, n, B)) * 0.1
+                    + np.eye(n)[None, :, :, None])
+    Bm = jnp.asarray(rng.standard_normal((H, n, m, B)) * 0.2)
+    c = jnp.asarray(rng.standard_normal((H, n, B)) * 0.05)
+    x0 = jnp.asarray(rng.standard_normal((n, B)))
+    Q = jnp.eye(n)
+    QN = jnp.eye(n) * 5.0
+    R = jnp.eye(m) * 0.1
+    lb, ub = jnp.full(m, -1.5), jnp.full(m, 1.5)
+    xr = jnp.asarray(rng.standard_normal((H, n, B)) * 0.1)
+    ur = jnp.asarray(rng.standard_normal((H, m, B)) * 0.1)
+    for kw in ({}, dict(x_ref=xr, u_ref=ur)):
+        u1, x1 = solve_box_mpc_riccati_soa(A, Bm, c, Q, QN, R, x0, lb, ub,
+                                           iters=12, **kw)
+        u2, x2 = solve_box_mpc_riccati_soa_fused(A, Bm, c, Q, QN, R, x0, lb,
+                                                 ub, iters=12, **kw)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u2),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                                   rtol=1e-10, atol=1e-12)
