@@ -41,7 +41,7 @@ from reak_tpu.math import rotations as rot
 from reak_tpu.planning.queries import PlanningQuery
 
 DEFAULTS = dict(planner="rrt_star", max_iters=30, seed=0, step_size=2.0,
-                output="")
+                n_grid=48, capacity=4096, output="")
 
 
 def hover_lti(params):
@@ -89,7 +89,7 @@ def main(argv=None):
     lower = jnp.array([-1.0, -3.0, -1.0, *[-0.6] * 3, *[-2.0] * 3, *[-2.0] * 3])
     upper = jnp.array([10.0, 3.0, 3.0, *[0.6] * 3, *[2.0] * 3, *[2.0] * 3])
     space = MEAQRSpace(A, B, lower, upper, R=jnp.eye(4) * 0.5,
-                       t_max=3.0, n_grid=48, time_weight=1.0)
+                       t_max=3.0, n_grid=int(cfg.n_grid), time_weight=1.0)
     is_free = pillar_scene()
 
     start = np.zeros(12)
@@ -101,7 +101,8 @@ def main(argv=None):
     planner = (meaqr_rrt_star_plan if cfg.planner == "rrt_star"
                else meaqr_sbastar_plan)
     res = planner(space, is_free, query, max_iters=int(cfg.max_iters),
-                  step_size=float(cfg.step_size), seed=int(cfg.seed))
+                  step_size=float(cfg.step_size), seed=int(cfg.seed),
+                  capacity=int(cfg.capacity))
     out = dict(
         planner=cfg.planner, success=bool(res.success),
         cost=float(res.cost), n_vertices=int(res.n_vertices),

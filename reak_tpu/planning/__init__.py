@@ -54,3 +54,4 @@ __all__ = [
     "monte_carlo_engine",
 ]
 from reak_tpu.planning.sbastar_rrtstar import sbastar_rrtstar_plan
+from reak_tpu.planning.lazy_prm import lazy_prm_plan, bnb_prune

@@ -88,7 +88,7 @@ class TestMEAQR:
         q = PlanningQuery(np.array([0.0, 0.0]), np.array([0.8, 0.0]),
                           goal_tolerance=0.6)
         res = meaqr_rrt_star_plan(meaqr, is_free, q, max_iters=15,
-                                  step_size=1.0, seed=1)
+                                  step_size=1.0, seed=1, capacity=256)
         assert res.n_vertices > 1  # ran; success depends on budget
 
 

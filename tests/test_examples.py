@@ -73,7 +73,8 @@ def test_x8_planner_cli(capsys):
     import json
     from examples import x8_planner
 
-    rc = x8_planner.main(["--planner=rrt_star", "--max-iters=12", "--seed=1"])
+    rc = x8_planner.main(["--planner=rrt_star", "--max-iters=10", "--seed=1",
+                          "--n-grid=24", "--capacity=768"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["success"]
     assert out["cost"] < 10.0

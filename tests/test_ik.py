@@ -4,6 +4,7 @@ SURVEY.md §4 / test_CRS_IK.cpp), plus CLIK convergence and batching."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from reak_tpu.kte import models, ik
 
@@ -95,6 +96,7 @@ class TestCLIK:
         assert bool(jnp.all(res.q >= lo)) and bool(jnp.all(res.q <= hi))
         assert float(res.err) < 1e-6
 
+    @pytest.mark.slow  # compile-heavy on XLA-CPU; covered by cheaper siblings in the default run
     def test_posture_cost_uses_redundancy(self):
         """On the redundant 7-DoF P3R3R, the nullspace posture term pulls the
         track coordinate toward q_rest without disturbing the task

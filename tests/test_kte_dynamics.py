@@ -7,6 +7,7 @@ closed-form Lagrangian results for the same mechanisms.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from reak_tpu import kte
 from reak_tpu.kte import models
@@ -269,6 +270,7 @@ def test_prismatic_chain():
     np.testing.assert_allclose(qdd[2], -9.81, atol=1e-9)
 
 
+@pytest.mark.slow  # compile-heavy on XLA-CPU; covered by cheaper siblings in the default run
 def test_scan_fk_matches_unrolled():
     """The scan-form FK/Jacobian path (long chains) must agree with the
     unrolled sweep bit-for-bit in semantics (mixed rev/prismatic, offsets)."""

@@ -75,6 +75,7 @@ class TestFlexibleBeam:
         assert abs(d16 - analytic) / analytic < 0.05
         assert abs(d16 - analytic) <= abs(d8 - analytic) + 1e-9
 
+    @pytest.mark.slow  # compile-heavy on XLA-CPU; covered by cheaper siblings in the default run
     def test_beam_oscillates_and_damps(self):
         """Release a bent beam: stays finite and rings down (stiff dynamics
         via the linearly-implicit stepper, systems.semi_implicit_kte)."""

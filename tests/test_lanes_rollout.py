@@ -83,13 +83,9 @@ def test_lanes_prismatic_chain_vs_generic(rng):
         q, qd, tau)
     np.testing.assert_allclose(np.asarray(qdd_l), np.asarray(qdd_g),
                                rtol=1e-8, atol=1e-9)
-    # and the fused rollout traces + runs on this config
-    us = jnp.asarray(rng.uniform(-2.0, 2.0, (B, 5, 3)))
-    x0 = jnp.concatenate([q, qd], axis=1)
-    A_l, B_l, c_l, xs_l = jax.jit(lanes.make_rollout_ltv_lanes(spec, 0.01, 5))(
-        x0, us)
-    assert A_l.shape == (5, 6, 6, B)
-    assert bool(jnp.all(jnp.isfinite(xs_l)))
+    # (the lanes ROLLOUT body is compile-tested on the flagship chain in
+    # test_rollout_matches_register_form / the MPC tests — compiling a second
+    # chain's scan body here would only re-pay XLA-CPU compile time)
 
 
 @pytest.mark.slow  # compiles the register-form path (minutes on XLA-CPU)

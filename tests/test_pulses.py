@@ -162,6 +162,7 @@ class TestSAP:
             )
             assert abs(float(T[i]) - T_ref) < 2e-3
 
+    @pytest.mark.slow  # compile-heavy on XLA-CPU; covered by cheaper siblings in the default run
     def test_eval_endpoints_limits_continuity(self, rng):
         vmax, amax, j = 1.5, 2.0, 3.0
         p0, p1, v0, v1 = _rand_cases(rng, 96, vmax)

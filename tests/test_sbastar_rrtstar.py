@@ -6,6 +6,7 @@ The "Done" bar: on the gap world at EQUAL iteration budget, the hybrid's
 anytime cost curve dominates both plain SBA* and plain RRT*.
 """
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from reak_tpu import planning as pl
@@ -73,6 +74,7 @@ def test_hybrid_dominates_plain_sbastar_and_rrtstar():
         f"hybrid {res_h.cost} vs plain {others}")
 
 
+@pytest.mark.slow  # ~40s of 12-D distance matrices on CPU
 def test_hidim_rrt_large_graph():
     """Hi-dim / large-graph regime (ref test_hidim_planners.cpp, VERDICT r2
     item 6): 12-D hyperbox, ≥10⁴-vertex tree through the masked brute-force

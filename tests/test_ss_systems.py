@@ -103,6 +103,7 @@ class TestAirship:
         xdot = f(ss.default_state(), jnp.zeros(6))
         np.testing.assert_allclose(np.asarray(xdot), 0.0, atol=1e-12)
 
+    @pytest.mark.slow  # compile-heavy on XLA-CPU; covered by cheaper siblings in the default run
     def test_heavy_airship_sinks_with_drag_terminal_velocity(self):
         m, g = 2.0, 9.81
         p = ss.airship3D(mass=m, buoyancy=m * g - 1.0, drag_lin=0.5, gravity=g)

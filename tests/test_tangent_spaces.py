@@ -6,6 +6,7 @@ se3_topologies.hpp:384, reachability_space.hpp:180,237)
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import reak_tpu.spaces as sp
 from reak_tpu.spaces.temporal import TemporalPoint
@@ -52,6 +53,7 @@ class TestNdof1stOrder:
 
 
 class TestNdof2ndOrder:
+    @pytest.mark.slow  # compile-heavy on XLA-CPU; covered by cheaper siblings in the default run
     def test_interpolate_respects_accel_limit(self):
         s = sp.Ndof2ndOrderSpace(
             lower=jnp.array([-3.0]),
