@@ -181,7 +181,7 @@ def qp_gradient_soa(A_seq, B_seq, c_seq, Q, QN, R, x0, us, x_ref=None,
 
 def solve_box_mpc_riccati_soa_fused(A_seq, B_seq, c_seq, Q, QN, R, x0, lb,
                                     ub, x_ref=None, u_ref=None,
-                                    iters: int = 8):
+                                    iters: int = 8, use_kernels: str = "auto"):
     """Scan-fused Mehrotra PDIP — same math as solve_box_mpc_riccati_soa,
     4 sequential scans per iteration instead of 7:
 
@@ -196,10 +196,31 @@ def solve_box_mpc_riccati_soa_fused(A_seq, B_seq, c_seq, Q, QN, R, x0, lb,
     On a latency-bound TPU pipeline (tiny per-step operands, 50-step chains)
     sequential-scan count is the cost model; this cuts the PDIP critical
     path by ~43%.  Numerics identical to the unfused solver (asserted at
-    f64 in tests/test_riccati_soa.py)."""
+    f64 in tests/test_riccati_soa.py).
+
+    ``use_kernels="auto"`` additionally runs the fused reverse pass as ONE
+    whole-pass Pallas kernel (ops/riccati_bwd_pallas.py — carries resident
+    in VMEM scratch across the horizon) when on TPU with a tile-aligned
+    batch; "never" forces the lax.scan path (CPU/tests)."""
+    from reak_tpu.ops import riccati_bwd_pallas as rbp
+
     H = A_seq.shape[0]
     m = B_seq.shape[2]
+    n = A_seq.shape[1]
     dtype = A_seq.dtype
+    B_lanes = A_seq.shape[-1]
+    kernel_ok = (
+        use_kernels != "never"
+        and A_seq.ndim == 4
+        and B_lanes % rbp._TILE == 0
+        and (jax.default_backend() not in ("cpu",) or rbp.FORCE_INTERPRET)
+    )
+    _t = rbp._TILE
+    bwd_kernel = (rbp.make_fused_backward(H, n, m, tile=_t) if kernel_ok
+                  else None)
+    vbwd_kernel = (rbp.make_vector_backward(H, n, m, tile=_t) if kernel_ok
+                   else None)
+    fwd_kernel = (rbp.make_forward(H, n, m, tile=_t) if kernel_ok else None)
     LB = jnp.broadcast_to(lb.astype(dtype)[None, :, None],
                           (H, m) + A_seq.shape[3:])
     UB = jnp.broadcast_to(ub.astype(dtype)[None, :, None],
@@ -255,15 +276,19 @@ def solve_box_mpc_riccati_soa_fused(A_seq, B_seq, c_seq, Q, QN, R, x0, lb,
             lam_n = _mTv(At, lam_full)
             return (lam_n, Vn, vn), (grad_t, K, G, k)
 
-        lam0 = jnp.zeros_like(xs[0])
-        V0 = QN[..., None] + jnp.zeros_like(A_seq[0])
-        v0 = jnp.zeros_like(xs[0])
         u_eff = u if u_ref is None else u - u_ref
-        _, (grad_r, Ks_r, Gs_r, kaff_r) = jax.lax.scan(
-            bwd, (lam0, V0, v0),
-            (A_seq[::-1], B_seq[::-1], qs[::-1], u_eff[::-1], D[::-1]))
-        grad = grad_r[::-1]
-        Ks, Gs, ks_aff = Ks_r[::-1], Gs_r[::-1], kaff_r[::-1]
+        v0 = jnp.zeros_like(xs[0])
+        if bwd_kernel is not None:
+            grad, Ks, Gs, ks_aff = bwd_kernel(A_seq, B_seq, qs, u_eff, D,
+                                              Q, QN, R)
+        else:
+            lam0 = jnp.zeros_like(xs[0])
+            V0 = QN[..., None] + jnp.zeros_like(A_seq[0])
+            _, (grad_r, Ks_r, Gs_r, kaff_r) = jax.lax.scan(
+                bwd, (lam0, V0, v0),
+                (A_seq[::-1], B_seq[::-1], qs[::-1], u_eff[::-1], D[::-1]))
+            grad = grad_r[::-1]
+            Ks, Gs, ks_aff = Ks_r[::-1], Gs_r[::-1], kaff_r[::-1]
         r_dual = grad - zl + zu
 
         mu = (jnp.sum(sl * zl, axis=(0, 1)) + jnp.sum(su * zu, axis=(0, 1))) \
@@ -277,7 +302,10 @@ def solve_box_mpc_riccati_soa_fused(A_seq, B_seq, c_seq, Q, QN, R, x0, lb,
             return dx1, du
 
         dx0 = jnp.zeros_like(x0)
-        _, du_aff = jax.lax.scan(fwd, dx0, (A_seq, B_seq, Ks, ks_aff))
+        if fwd_kernel is not None:
+            du_aff, _ = fwd_kernel(A_seq, B_seq, Ks, ks_aff, dx0)
+        else:
+            _, du_aff = jax.lax.scan(fwd, dx0, (A_seq, B_seq, Ks, ks_aff))
         dzl_aff = -zl - (zl / sl) * du_aff
         dzu_aff = -zu + (zu / su) * du_aff
 
@@ -301,10 +329,13 @@ def solve_box_mpc_riccati_soa_fused(A_seq, B_seq, c_seq, Q, QN, R, x0, lb,
             vn = _mTv(At, v) - _mTv(K, w)
             return vn, k
 
-        _, ks2_r = jax.lax.scan(
-            bwd2, v0, (A_seq[::-1], B_seq[::-1], rhs[::-1], Ks[::-1],
-                       Gs[::-1]))
-        ks2 = ks2_r[::-1]
+        if vbwd_kernel is not None:
+            ks2 = vbwd_kernel(A_seq, B_seq, rhs, Ks, Gs)
+        else:
+            _, ks2_r = jax.lax.scan(
+                bwd2, v0, (A_seq[::-1], B_seq[::-1], rhs[::-1], Ks[::-1],
+                           Gs[::-1]))
+            ks2 = ks2_r[::-1]
 
         # ---- corrector forward: du AND the trajectory delta dxs
         def fwd2(dx, inp):
@@ -313,7 +344,10 @@ def solve_box_mpc_riccati_soa_fused(A_seq, B_seq, c_seq, Q, QN, R, x0, lb,
             dx1 = _mv(At, dx) + _mv(Bt, du)
             return dx1, (du, dx1)
 
-        _, (du, dxs) = jax.lax.scan(fwd2, dx0, (A_seq, B_seq, Ks, ks2))
+        if fwd_kernel is not None:
+            du, dxs = fwd_kernel(A_seq, B_seq, Ks, ks2, dx0)
+        else:
+            _, (du, dxs) = jax.lax.scan(fwd2, dx0, (A_seq, B_seq, Ks, ks2))
         dzl = (rc_l - zl * du) / sl
         dzu = (rc_u + zu * du) / su
 

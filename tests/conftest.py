@@ -25,14 +25,6 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# shared persistent compile cache: xdist workers otherwise re-compile the
-# same module-scoped fixtures independently; warm reruns skip XLA-CPU
-# optimization entirely (cache dir is gitignored — a fresh clone's first
-# run is the honest cold time)
-jax.config.update("jax_compilation_cache_dir", os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".jax_cache_cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import numpy as np
 import pytest
 
