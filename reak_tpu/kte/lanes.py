@@ -243,6 +243,33 @@ def make_rollout_ltv_lanes(spec: ChainSpec, dt: float, horizon: int,
     return rollout
 
 
+def make_rollout_ltv_fullfused(spec: ChainSpec, dt: float, horizon: int,
+                               order: int = 4, tile: int = None,
+                               interpret: bool = None):
+    """Rollout with the ENTIRE step (core + series discretization) in one
+    Pallas kernel (ops/kte_core_pallas.make_step_lanes) — the scan body is
+    a single kernel launch; same contract as make_rollout_ltv_lanes."""
+    from reak_tpu.ops import kte_core_pallas as kcp
+
+    if tile is None:
+        tile = kcp._TILE
+    step = kcp.make_step_lanes(spec, dt, order=order, tile=tile,
+                               interpret=interpret)
+
+    def rollout(x0, us):
+        x = x0.T
+        us_t = jnp.moveaxis(us, 0, -1)
+
+        def body(x, u_t):
+            Ad, Bd, cd, x_new = step(x, u_t)
+            return x_new, (Ad, Bd, cd, x_new)
+
+        _, seqs = jax.lax.scan(body, x, us_t)
+        return seqs
+
+    return rollout
+
+
 def make_rollout_ltv_fused(spec: ChainSpec, dt: float, horizon: int,
                            order: int = 4, tile: int = None,
                            interpret: bool = None):

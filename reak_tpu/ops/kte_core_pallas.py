@@ -140,3 +140,130 @@ def make_core_lanes_xla(spec: ChainSpec):
         return qdd_a, dd_a, minv_a
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# full-step kernel: core + exponential-series discretization in one kernel
+# ---------------------------------------------------------------------------
+
+
+def _rmul(A, B):
+    """Register-form matmul over nested lists; skips literal-0 terms and
+    folds literal-1 factors (the A_c top block is [0 | I])."""
+    is0 = lambda v: isinstance(v, float) and v == 0.0
+    is1 = lambda v: isinstance(v, float) and v == 1.0
+    out = []
+    for i in range(len(A)):
+        row = []
+        for j in range(len(B[0])):
+            acc = 0.0
+            for k in range(len(B)):
+                a, b = A[i][k], B[k][j]
+                if is0(a) or is0(b):
+                    continue
+                term = b if is1(a) else (a if is1(b) else a * b)
+                acc = term if is0(acc) else acc + term
+            row.append(acc)
+        out.append(row)
+    return out
+
+
+def _rmv(A, x):
+    is0 = lambda v: isinstance(v, float) and v == 0.0
+    is1 = lambda v: isinstance(v, float) and v == 1.0
+    out = []
+    for i in range(len(A)):
+        acc = 0.0
+        for k in range(len(x)):
+            a, b = A[i][k], x[k]
+            if is0(a) or is0(b):
+                continue
+            term = b if is1(a) else (a if is1(b) else a * b)
+            acc = term if is0(acc) else acc + term
+        out.append(acc)
+    return out
+
+
+def make_step_lanes(spec: ChainSpec, dt: float, order: int = 4,
+                    tile: int = _TILE, interpret: bool = None):
+    """The ENTIRE rollout step in one Pallas kernel:
+    ``fn(x (n, B), u (m, B)) → (Ad (n,n,B), Bd (n,m,B), cd (n,B),
+    x_new (n,B))`` — core (terms + linearize + solves) PLUS the order-4
+    exponential-series discretization, all VMEM-resident.  The series runs
+    in register form with literal folding (the [0|I] block of A_c and the
+    zero top of B_c cost nothing)."""
+    if interpret is None:
+        interpret = FORCE_INTERPRET
+    nv = spec.nv
+    n = 2 * nv
+    core = make_core(spec)
+
+    def kernel(x_ref, u_ref, Ad_ref, Bd_ref, cd_ref, xn_ref):
+        x_tup = tuple(x_ref[i, :] for i in range(n))
+        u_cols = tuple(u_ref[i, :] for i in range(nv))
+        qdd, dd_sol, minv_sol = core(x_tup, u_cols)
+        # A_c = [[0, I], [dqdd]], B_c = [[0], [M^-1]] as nested lists
+        A_c = [[1.0 if j == nv + i else 0.0 for j in range(n)]
+               for i in range(nv)]
+        A_c += [[dd_sol[i][d2] for d2 in range(n)] for i in range(nv)]
+        B_c = [[0.0] * nv for _ in range(nv)]
+        # minv_sol[i] is (nv, B): row j holds (M⁻¹)[i, j] across the lanes
+        B_c += [[minv_sol[i][j] for j in range(nv)] for i in range(nv)]
+        f0 = list(x_tup[nv:]) + list(qdd)
+        eye = [[1.0 if i == j else 0.0 for j in range(n)] for i in range(n)]
+        S = [[dt * e for e in row] for row in eye]
+        term = [row[:] for row in S]
+        for k in range(2, order + 1):
+            term = _rmul(A_c, term)
+            term = [[(dt / k) * e if not (isinstance(e, float) and e == 0.0)
+                     else 0.0 for e in row] for row in term]
+            S = [[a + b if not (isinstance(b, float) and b == 0.0) else a
+                  for a, b in zip(r1, r2)] for r1, r2 in zip(S, term)]
+        AS = _rmul(A_c, S)
+        # Ad = I + A_c·S, skipping literal-zero additions
+        Ad = [[e if isinstance(a, float) and a == 0.0 else
+               (a if isinstance(e, float) and e == 0.0 else a + e)
+               for a, e in zip(ra, re)] for ra, re in zip(AS, eye)]
+        Bd = _rmul(S, B_c)
+        Sf0 = _rmv(S, f0)
+        x_new = [x_tup[i] + Sf0[i] for i in range(n)]
+        Adx = _rmv(Ad, list(x_tup))
+        Bdu = _rmv(Bd, list(u_cols))
+        cd = [x_new[i] - Adx[i] - Bdu[i] for i in range(n)]
+        zero = jnp.zeros_like(x_tup[0])
+        asarr = lambda v: zero + v  # literal floats → lanes arrays
+        for i in range(n):
+            for j in range(n):
+                Ad_ref[i, j, :] = asarr(Ad[i][j])
+            for j in range(nv):
+                Bd_ref[i, j, :] = asarr(Bd[i][j])
+            cd_ref[i, :] = asarr(cd[i])
+            xn_ref[i, :] = asarr(x_new[i])
+
+    def fn(x, u):
+        B = x.shape[-1]
+        assert B % tile == 0
+        grid = B // tile
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((n, tile), lambda i: (0, i)),
+                pl.BlockSpec((nv, tile), lambda i: (0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((n, n, tile), lambda i: (0, 0, i)),
+                pl.BlockSpec((n, nv, tile), lambda i: (0, 0, i)),
+                pl.BlockSpec((n, tile), lambda i: (0, i)),
+                pl.BlockSpec((n, tile), lambda i: (0, i)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n, n, B), x.dtype),
+                jax.ShapeDtypeStruct((n, nv, B), x.dtype),
+                jax.ShapeDtypeStruct((n, B), x.dtype),
+                jax.ShapeDtypeStruct((n, B), x.dtype),
+            ],
+            interpret=interpret,
+        )(x, u)
+
+    return fn

@@ -55,3 +55,4 @@ __all__ = [
 ]
 from reak_tpu.planning.sbastar_rrtstar import sbastar_rrtstar_plan
 from reak_tpu.planning.lazy_prm import lazy_prm_plan, bnb_prune
+from reak_tpu.planning.reach_sort import ReachabilitySortedSet

@@ -177,3 +177,23 @@ def test_fused_core_kernel_matches_xla_fallback_interpret(rng):
     # minv rows broadcast in the fallback; compare values
     np.testing.assert_allclose(np.asarray(out_k[2]), np.asarray(out_x[2]),
                                rtol=1e-9, atol=1e-10)
+
+
+@pytest.mark.slow  # interpret-mode compile of the ~2.5e4-op body is minutes
+def test_full_step_kernel_matches_lanes_step_interpret(rng):
+    """make_step_lanes (core + in-kernel series) == lanes rollout step."""
+    import jax
+    import jax.numpy as jnp
+    from reak_tpu.kte import models, lanes
+    from reak_tpu.ops import kte_core_pallas as kcp
+
+    spec = models.manip_3r3r()
+    B, H = 4, 1
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 12)))
+    us = jnp.asarray(rng.uniform(-2, 2, (B, H, 6)))
+    roll_ff = lanes.make_rollout_ltv_fullfused(spec, 0.01, H, tile=4,
+                                               interpret=True)
+    roll_l = lanes.make_rollout_ltv_lanes(spec, 0.01, H)
+    for a, b in zip(jax.jit(roll_ff)(x0, us), jax.jit(roll_l)(x0, us)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-9)

@@ -256,3 +256,53 @@ class TestDifferentiableSpace:
         np.testing.assert_allclose(np.asarray(p1[0]), [1.2], atol=1e-12)
         np.testing.assert_allclose(np.asarray(p1[1]), [2.05], atol=1e-12)
         np.testing.assert_allclose(np.asarray(p1[2]), [0.5], atol=1e-12)
+
+
+class TestReachabilitySort:
+    """ReachabilitySortedSet (ref: path_planning/reachability_sort.hpp)."""
+
+    def _mk(self, rng, N=64):
+        import jax
+        from reak_tpu.spaces import HyperboxSpace
+        from reak_tpu.spaces.tangent import ReachabilitySpace
+        from reak_tpu.spaces.temporal import TemporalPoint
+        from reak_tpu.planning.reach_sort import ReachabilitySortedSet
+
+        base = HyperboxSpace(jnp.zeros(2), jnp.ones(2) * 4.0)
+        org = TemporalPoint(jnp.asarray(0.0), jnp.zeros(2))
+        space = ReachabilitySpace(base, t_max=10.0, origin=org)
+        times = jnp.asarray(rng.uniform(0, 10, N))
+        pts = jnp.asarray(rng.uniform(0, 4, (N, 2)))
+        return space, ReachabilitySortedSet(space, times, pts), TemporalPoint
+
+    def test_prune_has_no_false_negatives(self, rng):
+        space, rset, TP = self._mk(rng)
+        for t, p in [(2.0, [1.0, 1.0]), (5.0, [3.0, 0.5]), (0.0, [0.0, 0.0])]:
+            tp = TP(jnp.asarray(t), jnp.asarray(p))
+            exact = np.asarray(rset.reachable_from(tp))
+            cand = np.asarray(rset.candidate_mask_from(tp))
+            assert not (exact & ~cand).any(), "prune dropped a reachable point"
+            # and it actually prunes something on generic queries
+        assert cand.sum() < rset.size
+
+    def test_exact_matches_bruteforce(self, rng):
+        space, rset, TP = self._mk(rng, N=40)
+        tp = TP(jnp.asarray(3.0), jnp.asarray([2.0, 2.0]))
+        exact = np.asarray(rset.reachable_from(tp))
+        times = np.asarray(rset.times)
+        pts = np.asarray(rset.points)
+        for i in range(40):
+            dt = times[i] - 3.0
+            d = np.linalg.norm(pts[i] - np.array([2.0, 2.0]))
+            assert exact[i] == (dt >= 0 and d <= dt)
+
+    def test_nearest_reachable_is_min_reach_plus_time(self, rng):
+        space, rset, TP = self._mk(rng)
+        tp = TP(jnp.asarray(1.0), jnp.asarray([1.5, 1.5]))
+        i, v = rset.nearest_reachable(tp)
+        times = np.asarray(rset.times)
+        pts = np.asarray(rset.points)
+        dt = times - 1.0
+        d = np.linalg.norm(pts - np.array([1.5, 1.5]), axis=1)
+        metric = np.where((dt >= 0) & (d <= dt), dt + d, np.inf)
+        assert abs(float(v) - metric.min()) < 1e-9
