@@ -81,7 +81,7 @@ def run_point(n_dev, horizon=HORIZON, batch_per_device=BATCH_PER_DEV,
 
     step = jax.jit(shard_map(local, mesh=mesh,
                              in_specs=(P("scenarios"), P("scenarios")),
-                             out_specs=P()))
+                             out_specs=P(), check_vma=False))
     B = batch_per_device * n_dev
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 2 * nq)), jnp.float32)

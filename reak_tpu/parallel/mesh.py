@@ -41,8 +41,11 @@ def sharded_map(fn: Callable, mesh: Mesh, axis_name: str = "scenarios"):
     mesh size) and must be vmapped/batched internally.  Collectives
     (``jax.lax.psum(..., axis_name)``) are available inside.
     """
+    # check_vma=False: pallas_call outputs inside the shard (the fused
+    # KTE/Riccati kernels) do not declare varying-manual-axes metadata
     return jax.shard_map(
-        fn, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name)
+        fn, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name),
+        check_vma=False,
     )
 
 
@@ -55,8 +58,10 @@ def pmean_scalar(fn: Callable, mesh: Mesh, axis_name: str = "scenarios"):
         s = jax.lax.pmean(s, axis_name)
         return out, s
 
+    # check_vma=False: see sharded_map (pallas outputs carry no vma metadata)
     return jax.shard_map(
-        wrapped, mesh=mesh, in_specs=P(axis_name), out_specs=(P(axis_name), P())
+        wrapped, mesh=mesh, in_specs=P(axis_name),
+        out_specs=(P(axis_name), P()), check_vma=False,
     )
 
 

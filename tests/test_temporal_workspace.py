@@ -127,3 +127,20 @@ def test_rigid_traj_tabulated_interpolates():
     np.testing.assert_allclose(np.asarray(q), [1, 0, 0, 0], atol=1e-12)
     p2 = jax.jit(lambda t: traj(t)[0])(jnp.asarray(1.5))  # jit-traceable
     np.testing.assert_allclose(np.asarray(p2), [1.0, 0.5, 0], atol=1e-12)
+
+
+def test_mesh_helpers_shard_and_reduce():
+    """parallel/mesh sharded_map + pmean_scalar on the virtual mesh (with
+    check_vma=False so pallas-bearing shards compose on real meshes)."""
+    import jax
+    import jax.numpy as jnp
+    from reak_tpu.parallel import mesh as pm
+
+    m = pm.make_mesh()
+    f = pm.sharded_map(lambda x: x * 2.0, m)
+    x = jnp.arange(16.0).reshape(16, 1)
+    np.testing.assert_allclose(np.asarray(jax.jit(f)(x)),
+                               np.asarray(x) * 2.0)
+    g = pm.pmean_scalar(lambda x: (x, jnp.sum(x)), m)
+    out, s = jax.jit(g)(x)
+    np.testing.assert_allclose(float(s), float(jnp.sum(x)) / len(m.devices.ravel()))
