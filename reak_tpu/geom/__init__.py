@@ -10,7 +10,9 @@ Shapes are dataclass records with pose parameters; proximity is a set of
 closed-form pairwise distance functions vectorized over arbitrary batch axes —
 planners evaluate tens of thousands of pairs per device call instead of the
 reference's per-pair virtual dispatch (proximity_finder_3D.hpp:62).
-2D shapes are 3D shapes in the z=0 plane (circle→sphere, rectangle→box).
+The planar stack (circle / rectangle / capped-rectangle / line-seg and the
+reference's six 2D pair kernels) lives in :mod:`reak_tpu.geom.shapes2d` and
+:mod:`reak_tpu.geom.proximity2d`.
 """
 from reak_tpu.geom.shapes import (
     Sphere,
@@ -69,5 +71,30 @@ __all__ = [
     "dist_segment_segment",
     "proxy_query",
     "ProxyModel",
+    "Circle",
+    "Rectangle",
+    "CappedRectangle",
+    "Seg2D",
+    "ShapeSet2D",
+    "ProxyModel2D",
+    "proxy_query_2d",
 ]
 from reak_tpu.geom import convex
+from reak_tpu.geom.shapes2d import (
+    Circle,
+    Rectangle,
+    CappedRectangle,
+    Seg2D,
+    ShapeSet2D,
+    pose_shapes_2d,
+)
+from reak_tpu.geom.proximity2d import (
+    dist_circle_circle,
+    dist_circle_rect,
+    dist_circle_crect,
+    dist_rect_rect,
+    dist_crect_rect,
+    dist_crect_crect,
+    ProxyModel2D,
+    proxy_query_2d,
+)

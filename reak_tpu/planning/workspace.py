@@ -206,3 +206,42 @@ def rigid_traj_tabulated(ts, poss, quats):
         return pos, q
 
     return traj
+
+
+class PlanarChainWorkspace(Workspace):
+    """Quasi-static PLANAR manipulator workspace: the 2D analog of
+    :class:`ChainWorkspace` for chains whose motion lies in the z=0 plane
+    (ref: kte_chain_geometry_2D, geometry/shapes/kte_chain_geometry.hpp:52;
+    manip_quasi_static_env over 2D proxy models, proxy_query_model.hpp:51).
+
+    ``robot_shapes`` is a :class:`reak_tpu.geom.shapes2d.ShapeSet2D` anchored
+    to body indices; FK frames are projected onto the plane (xy position +
+    rotation angle about z — exact for planar chains, whose body quaternions
+    are pure z rotations).
+    """
+
+    def __init__(self, space, spec, robot_shapes, env, margin: float = 0.0,
+                 n_checks: int = 16):
+        from reak_tpu import kte
+        from reak_tpu.geom.shapes2d import pose_shapes_2d
+        from reak_tpu.geom.proximity2d import ProxyModel2D, proxy_query_2d
+
+        self.spec = spec
+        self.robot_shapes = robot_shapes
+        self.env = env
+        self.margin = margin
+
+        def min_dist_one(q):
+            res = kte.fk(spec, q)
+            pos2 = res.body_pos[:, :2]
+            # planar angle of a pure z-rotation quaternion [w, x, y, z]
+            ang = 2.0 * jnp.arctan2(res.body_quat[:, 3], res.body_quat[:, 0])
+            posed = pose_shapes_2d(robot_shapes, pos2, ang)
+            return proxy_query_2d(ProxyModel2D.from_shapes(posed), env)
+
+        self._min_dist = jax.jit(jax.vmap(min_dist_one))
+        super().__init__(space, lambda qs: self._min_dist(qs) > margin,
+                         n_checks)
+
+    def min_distance_batch(self, qs):
+        return self._min_dist(qs)
