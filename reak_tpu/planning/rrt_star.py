@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from reak_tpu.math import sorting
 from reak_tpu.planning.queries import PlanningQuery, PlanResult, path_cost
 from reak_tpu.planning.rrt import _masked_nn
 
@@ -72,8 +73,7 @@ def _make_star_step(space, workspace, step_size, gamma, goal_bias, K=32,
         # be cap-heavy — restrict to the M best candidates per new point
         M = 8
         cand_cost = jnp.where(in_ball, state.costs[None, :] + dmat, jnp.inf)
-        top_idx = jnp.argsort(cand_cost, axis=-1)[:, :M]  # (K, M)
-        top_cost = jnp.take_along_axis(cand_cost, top_idx, axis=-1)
+        top_cost, top_idx = sorting.smallest_k(cand_cost, M)  # (K, M) each
         # batch edge checks: (K*M,) pairs
         cand_pts = state.verts[top_idx]  # (K, M, n)
         edge_ok = workspace.edge_free_batch(

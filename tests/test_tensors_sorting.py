@@ -63,3 +63,74 @@ def test_lexsort_2key():
     order = srt.lexsort_2key(p, s)
     got = [(float(p[i]), float(s[i])) for i in np.asarray(order)]
     assert got == sorted(got)
+
+
+def test_bitonic_sort_matches_xla(rng):
+    """Bitonic network == XLA sort on batched, tied, non-power-of-2 inputs."""
+    for shape in [(8,), (5,), (3, 17), (4, 2, 33), (128,)]:
+        x = rng.standard_normal(shape)
+        x[..., ::3] = x[..., ::3].round(1)  # ties
+        np.testing.assert_allclose(
+            np.asarray(srt.bitonic_sort(jnp.asarray(x))), np.sort(x, -1))
+        p = np.asarray(srt.bitonic_argsort(jnp.asarray(x)))
+        assert (np.sort(p, -1) == np.arange(shape[-1])).all()  # permutation
+        np.testing.assert_allclose(np.take_along_axis(x, p, -1),
+                                   np.sort(x, -1))
+
+
+def test_bitonic_kv_carries_payload(rng):
+    x = rng.standard_normal((6, 21))
+    k, v = srt.bitonic_sort_kv(jnp.asarray(x), jnp.asarray(3.0 * x))
+    np.testing.assert_allclose(np.asarray(k), np.sort(x, -1))
+    np.testing.assert_allclose(np.asarray(v), 3.0 * np.sort(x, -1))
+
+
+def test_bitonic_argsort_stable_on_ties():
+    x = jnp.asarray([1.0, 0.0, 1.0, 0.0, 1.0])
+    p = np.asarray(srt.bitonic_argsort(x))
+    assert p.tolist() == [1, 3, 0, 2, 4]
+
+
+def test_unfold_fold_roundtrip(rng):
+    T = jnp.asarray(rng.standard_normal((3, 4, 5)))
+    for mode in range(3):
+        M = tn.unfold(T, mode)
+        assert M.shape[0] == T.shape[mode]
+        np.testing.assert_allclose(np.asarray(tn.fold(M, mode, T.shape)),
+                                   np.asarray(T), atol=0)
+
+
+def test_mode_dot_vs_einsum(rng):
+    T = jnp.asarray(rng.standard_normal((3, 4, 5)))
+    M = jnp.asarray(rng.standard_normal((7, 4)))
+    got = tn.mode_dot(T, M, 1)
+    want = np.einsum("ab,ibk->iak", np.asarray(M), np.asarray(T))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-12)
+
+
+def test_tensor_rotations_preserve_contractions(rng):
+    """Frame-change invariance: v·T·w-style full contractions are preserved
+    under simultaneous rotation of the tensor and its arguments."""
+    from scipy.spatial.transform import Rotation
+
+    R = jnp.asarray(Rotation.random(random_state=0).as_matrix())
+    T = jnp.asarray(rng.standard_normal((3, 3, 3)))
+    a, b, c = (jnp.asarray(rng.standard_normal(3)) for _ in range(3))
+    full = jnp.einsum("ijk,i,j,k->", T, a, b, c)
+    Tr = tn.tensor3_rotate(T, R)
+    full_r = jnp.einsum("ijk,i,j,k->", Tr, R @ a, R @ b, R @ c)
+    np.testing.assert_allclose(float(full_r), float(full), atol=1e-10)
+    T4 = jnp.asarray(rng.standard_normal((3, 3, 3, 3)))
+    M = jnp.asarray(rng.standard_normal((3, 3)))
+    s = jnp.einsum("ijkl,ij,kl->", T4, M, M)
+    s_r = jnp.einsum("ijkl,ij,kl->", tn.tensor4_rotate(T4, R),
+                     R @ M @ R.T, R @ M @ R.T)
+    np.testing.assert_allclose(float(s_r), float(s), atol=1e-9)
+
+
+def test_ttt_general_contraction(rng):
+    A = jnp.asarray(rng.standard_normal((3, 4, 5)))
+    B = jnp.asarray(rng.standard_normal((5, 4, 2)))
+    got = tn.ttt(A, B, [1, 2], [1, 0])
+    want = np.einsum("ijk,kjl->il", np.asarray(A), np.asarray(B))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-12)
