@@ -15,12 +15,18 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import struct
 from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import numpy as np
 
 _REGISTRY: Dict[str, Tuple[Callable, Callable]] = {}
 _TYPE_TAGS: Dict[type, str] = {}
+
+# When set (by the binary archiver), to_document keeps ndarrays as raw
+# np.ndarray nodes instead of JSON list-dicts, so the binary writer can emit
+# them as contiguous bytes (the bin_archiver.hpp win over xml_archiver.hpp).
+_RAW_ARRAYS = False
 
 
 def register_type(tag: str, cls: type, to_doc=None, from_doc=None):
@@ -50,6 +56,8 @@ def to_document(obj) -> Any:
         return obj
     if isinstance(obj, (np.ndarray, jax.Array)):
         a = np.asarray(obj)
+        if _RAW_ARRAYS:
+            return a
         return {"__nd__": a.tolist(), "dtype": str(a.dtype), "shape": list(a.shape)}
     if isinstance(obj, np.generic):
         return obj.item()
@@ -68,6 +76,8 @@ def to_document(obj) -> Any:
 def from_document(doc) -> Any:
     if doc is None or isinstance(doc, (bool, int, float, str)):
         return doc
+    if isinstance(doc, np.ndarray):  # raw node from the binary archive
+        return doc
     if isinstance(doc, dict):
         if "__nd__" in doc:
             return np.asarray(doc["__nd__"], dtype=doc["dtype"]).reshape(doc["shape"])
@@ -85,9 +95,134 @@ def from_document(doc) -> Any:
     raise TypeError(f"bad document node {type(doc)}")
 
 
+# ---------------------------------------------------------------------------
+# binary archive (ref: core/serialization/bin_archiver.hpp:107 — the compact
+# row format; arrays stored as contiguous little-endian payloads)
+# ---------------------------------------------------------------------------
+
+_BIN_MAGIC = b"RKB1"
+_T_NONE, _T_FALSE, _T_TRUE, _T_INT, _T_FLT, _T_STR, _T_ARR, _T_MAP, _T_LST = \
+    range(9)
+
+
+def _bin_encode(node, out):
+    if node is None:
+        out.append(bytes([_T_NONE]))
+    elif isinstance(node, bool):
+        out.append(bytes([_T_TRUE if node else _T_FALSE]))
+    elif isinstance(node, int):
+        out.append(bytes([_T_INT]) + struct.pack("<q", node))
+    elif isinstance(node, float):
+        out.append(bytes([_T_FLT]) + struct.pack("<d", node))
+    elif isinstance(node, str):
+        b = node.encode()
+        out.append(bytes([_T_STR]) + struct.pack("<I", len(b)) + b)
+    elif isinstance(node, np.ndarray):
+        a = np.ascontiguousarray(node)
+        if a.dtype.byteorder == ">":
+            a = a.astype(a.dtype.newbyteorder("<"))
+        dt = str(a.dtype).encode()
+        out.append(bytes([_T_ARR]) + struct.pack("<B", len(dt)) + dt
+                   + struct.pack("<B", a.ndim)
+                   + struct.pack(f"<{a.ndim}q", *a.shape)
+                   + struct.pack("<Q", a.nbytes))
+        out.append(a.tobytes())
+    elif isinstance(node, dict):
+        out.append(bytes([_T_MAP]) + struct.pack("<I", len(node)))
+        for k, v in node.items():
+            kb = k.encode()
+            out.append(struct.pack("<I", len(kb)) + kb)
+            _bin_encode(v, out)
+    elif isinstance(node, (list, tuple)):
+        out.append(bytes([_T_LST]) + struct.pack("<I", len(node)))
+        for v in node:
+            _bin_encode(v, out)
+    else:
+        raise TypeError(f"binary archive: unencodable node {type(node)}")
+
+
+def _bin_decode(buf, off):
+    t = buf[off]
+    off += 1
+    if t == _T_NONE:
+        return None, off
+    if t == _T_FALSE:
+        return False, off
+    if t == _T_TRUE:
+        return True, off
+    if t == _T_INT:
+        return struct.unpack_from("<q", buf, off)[0], off + 8
+    if t == _T_FLT:
+        return struct.unpack_from("<d", buf, off)[0], off + 8
+    if t == _T_STR:
+        n = struct.unpack_from("<I", buf, off)[0]
+        off += 4
+        return buf[off:off + n].decode(), off + n
+    if t == _T_ARR:
+        nd = buf[off]
+        dt = buf[off + 1:off + 1 + nd].decode()
+        off += 1 + nd
+        ndim = buf[off]
+        off += 1
+        shape = struct.unpack_from(f"<{ndim}q", buf, off)
+        off += 8 * ndim
+        nbytes = struct.unpack_from("<Q", buf, off)[0]
+        off += 8
+        a = np.frombuffer(buf[off:off + nbytes], dtype=dt).reshape(shape)
+        return a.copy(), off + nbytes
+    if t == _T_MAP:
+        n = struct.unpack_from("<I", buf, off)[0]
+        off += 4
+        d = {}
+        for _ in range(n):
+            kl = struct.unpack_from("<I", buf, off)[0]
+            off += 4
+            k = buf[off:off + kl].decode()
+            off += kl
+            d[k], off = _bin_decode(buf, off)
+        return d, off
+    if t == _T_LST:
+        n = struct.unpack_from("<I", buf, off)[0]
+        off += 4
+        xs = []
+        for _ in range(n):
+            v, off = _bin_decode(buf, off)
+            xs.append(v)
+        return xs, off
+    raise ValueError(f"binary archive: bad tag {t} at {off - 1}")
+
+
+def save_scene_bin(path: str, obj):
+    """Serialize to the compact binary archive (.rkb equivalent): same
+    document model as JSON, ndarrays as contiguous little-endian payloads."""
+    global _RAW_ARRAYS
+    _RAW_ARRAYS = True
+    try:
+        doc = to_document(obj)
+    finally:
+        _RAW_ARRAYS = False
+    out = [_BIN_MAGIC]
+    _bin_encode(doc, out)
+    with open(path, "wb") as f:
+        f.write(b"".join(out))
+
+
+def load_scene_bin(path: str):
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:4] != _BIN_MAGIC:
+        raise ValueError("not a reak binary archive (bad magic)")
+    doc, off = _bin_decode(buf, 4)
+    if off != len(buf):
+        raise ValueError(f"trailing bytes in archive ({len(buf) - off})")
+    return from_document(doc)
+
+
 def save_scene(path: str, obj):
-    """Serialize an object graph to JSON (the .rkx/.rkb equivalent;
-    binary variant: use .json.gz path suffix for compression)."""
+    """Serialize an object graph (the .rkx/.rkb equivalent): JSON by
+    default, gzip-JSON for ``.gz`` paths, compact binary for ``.rkb``."""
+    if path.endswith(".rkb"):
+        return save_scene_bin(path, obj)
     doc = to_document(obj)
     if path.endswith(".gz"):
         import gzip
@@ -100,6 +235,8 @@ def save_scene(path: str, obj):
 
 
 def load_scene(path: str):
+    if path.endswith(".rkb"):
+        return load_scene_bin(path)
     if path.endswith(".gz"):
         import gzip
 

@@ -194,3 +194,42 @@ def test_block_timed():
 
     out, dt = block_timed(lambda x: jnp.sum(x * x), jnp.arange(100.0))
     assert float(out) > 0 and dt >= 0
+
+
+def test_binary_archive_roundtrip(tmp_path):
+    """Compact binary archive (.rkb) round-trips the same scene graph as
+    JSON, with arrays as raw payloads (ref: bin_archiver.hpp:107)."""
+    import jax.numpy as jnp
+    from reak_tpu.kte import models
+    from reak_tpu.geom.shapes import Sphere
+    from reak_tpu.geom.proximity import ProxyModel
+    from reak_tpu.planning.queries import PlanningQuery
+
+    scene = {
+        "chaser": models.manip_3r3r(),
+        "env": ProxyModel(spheres=Sphere(jnp.ones((2, 3)), jnp.array([0.5, 0.2]))),
+        "query": PlanningQuery(np.zeros(2), np.ones(2), goal_tolerance=0.1),
+        "big": np.arange(4096, dtype=np.float32).reshape(64, 64),
+        "flags": [True, False, None, 7, 2.5, "s", (1, 2)],
+    }
+    pb = str(tmp_path / "scene.rkb")
+    io.save_scene(pb, scene)
+    back = io.load_scene(pb)
+    assert back["chaser"] == scene["chaser"]
+    np.testing.assert_allclose(back["env"].spheres.radius, [0.5, 0.2])
+    np.testing.assert_array_equal(back["big"], scene["big"])
+    assert back["big"].dtype == np.float32
+    assert back["flags"] == [True, False, None, 7, 2.5, "s", (1, 2)]
+    assert back["query"].goal_tolerance == 0.1
+    # raw payloads beat JSON text for array-heavy scenes
+    pj = str(tmp_path / "scene.json")
+    io.save_scene(pj, scene)
+    import os
+    assert os.path.getsize(pb) < 0.5 * os.path.getsize(pj)
+
+
+def test_binary_archive_bad_magic(tmp_path):
+    p = tmp_path / "bad.rkb"
+    p.write_bytes(b"XXXX\x00")
+    with pytest.raises(ValueError, match="magic"):
+        io.load_scene(str(p))
