@@ -55,3 +55,48 @@ class TemporalSpace:
 
     def clamp(self, p: TemporalPoint):
         return TemporalPoint(jnp.clip(p.time, 0.0, self.t_max), self.base.clamp(p.point))
+
+
+class TimePoissonSampler:
+    """Poisson-process time sampling for temporal planning
+    (ref: ctrl/topologies/time_poisson_topology.hpp): sample times as the
+    arrivals of a rate-λ process anchored at a start time, so temporal
+    planners draw expansion times with exponential inter-arrival gaps
+    instead of uniformly over [0, t_max].
+    """
+
+    def __init__(self, rate: float, t_start: float = 0.0,
+                 t_max: float | None = None):
+        self.rate = float(rate)
+        self.t_start = float(t_start)
+        self.t_max = t_max
+
+    def sample(self, key, batch=()):
+        """One arrival per draw: t_start + Exp(rate)."""
+        dt = jax.random.exponential(key, batch) / self.rate
+        t = self.t_start + dt
+        if self.t_max is not None:
+            t = jnp.minimum(t, self.t_max)
+        return t
+
+    def sample_arrivals(self, key, n: int, batch=()):
+        """First n arrivals of the process: cumulative exponential gaps,
+        shape ``batch + (n,)``."""
+        gaps = jax.random.exponential(key, batch + (n,)) / self.rate
+        t = self.t_start + jnp.cumsum(gaps, axis=-1)
+        if self.t_max is not None:
+            t = jnp.minimum(t, self.t_max)
+        return t
+
+
+def poisson_temporal_sampler(space: TemporalSpace, rate: float):
+    """Wrap a TemporalSpace's sampler to draw times from a Poisson process
+    anchored at t=0 (the reference composes time_poisson_topology into its
+    temporal spaces the same way, temporal_space.hpp)."""
+    tp = TimePoissonSampler(rate, 0.0, space.t_max)
+
+    def sample(key, batch=()):
+        k1, k2 = jax.random.split(key)
+        return TemporalPoint(tp.sample(k1, batch), space.base.sample(k2, batch))
+
+    return sample

@@ -144,3 +144,26 @@ def test_mesh_helpers_shard_and_reduce():
     g = pm.pmean_scalar(lambda x: (x, jnp.sum(x)), m)
     out, s = jax.jit(g)(x)
     np.testing.assert_allclose(float(s), float(jnp.sum(x)) / len(m.devices.ravel()))
+
+
+def test_time_poisson_sampler_statistics():
+    """Poisson time sampling (ref: time_poisson_topology.hpp): exponential
+    inter-arrival gaps with the right mean, monotone arrival sequences."""
+    import jax
+    import jax.numpy as jnp
+    from reak_tpu.spaces.temporal import (TemporalSpace, TimePoissonSampler,
+                                          poisson_temporal_sampler)
+    from reak_tpu.spaces.vector import HyperboxSpace
+
+    s = TimePoissonSampler(rate=4.0, t_start=2.0)
+    t = s.sample(jax.random.PRNGKey(0), (40000,))
+    assert abs(float(jnp.mean(t)) - 2.25) < 0.01  # t_start + 1/rate
+    arr = s.sample_arrivals(jax.random.PRNGKey(1), 8, (16,))
+    assert arr.shape == (16, 8)
+    assert bool(jnp.all(jnp.diff(arr, axis=-1) > 0))
+    # composed into a temporal space: times clipped to horizon
+    base = HyperboxSpace(jnp.zeros(2), jnp.ones(2))
+    sp = TemporalSpace(base, t_max=3.0)
+    sample = poisson_temporal_sampler(sp, rate=1.0)
+    pt = sample(jax.random.PRNGKey(2), (512,))
+    assert bool(jnp.all(pt.time <= 3.0)) and bool(jnp.all(pt.time >= 0.0))
