@@ -27,6 +27,7 @@ from reak_tpu.spaces.se3 import (
 )
 from reak_tpu.spaces.temporal import TemporalSpace
 from reak_tpu.spaces.rate_limited import RateLimitedNdofSpace, joint_limits_mapping
+from reak_tpu.spaces.interpolated import InterpolatedSpace
 from reak_tpu.spaces.tangent import (
     DifferentiableSpace,
     make_differentiable_ndof,

@@ -186,3 +186,42 @@ def test_transformed_trajectory(rng):
 def test_constant_trajectory():
     traj = ip.constant_trajectory(jnp.array([1.0, 2.0]))
     np.testing.assert_allclose(traj.eval(57.0), [1.0, 2.0], atol=1e-12)
+
+
+def test_interpolated_space_profiles():
+    """Interp-aware topology wrapper (ref: interpolated_topologies.hpp):
+    cubic/quintic easing with correct endpoints, zero boundary velocities,
+    and (quintic) zero boundary accelerations."""
+    from reak_tpu.spaces import HyperboxSpace, InterpolatedSpace
+
+    base = HyperboxSpace(jnp.zeros(2), jnp.ones(2) * 4.0)
+    a, b = jnp.array([0.0, 0.0]), jnp.array([4.0, 2.0])
+    for profile in ("linear", "cubic", "quintic"):
+        sp = InterpolatedSpace(base, profile)
+        np.testing.assert_allclose(np.asarray(sp.interpolate(a, b, 0.0)), a,
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(sp.interpolate(a, b, 1.0)), b,
+                                   atol=1e-12)
+        # delegation: metric and sampling are the base space's
+        assert float(sp.distance(a, b)) == float(base.distance(a, b))
+    cub = InterpolatedSpace(base, "cubic")
+    np.testing.assert_allclose(np.asarray(cub.interpolate(a, b, 0.5)),
+                               np.asarray(0.5 * (a + b)), atol=1e-12)
+    # derivative surface: v(0)=v(1)=0 for cubic; quintic also a(0)=a(1)=0
+    _, v0, _ = cub.eval_with_derivatives(a, b, 0.0, duration=2.0)
+    _, v1, _ = cub.eval_with_derivatives(a, b, 1.0, duration=2.0)
+    np.testing.assert_allclose(np.asarray(v0), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v1), 0.0, atol=1e-12)
+    qui = InterpolatedSpace(base, "quintic")
+    _, vm, am0 = qui.eval_with_derivatives(a, b, 0.0, duration=2.0)
+    _, _, am1 = qui.eval_with_derivatives(a, b, 1.0, duration=2.0)
+    np.testing.assert_allclose(np.asarray(am0), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(am1), 0.0, atol=1e-12)
+    # mid-traversal velocity of the quintic: 30/16 * delta / duration
+    _, vmid, _ = qui.eval_with_derivatives(a, b, 0.5, duration=2.0)
+    np.testing.assert_allclose(np.asarray(vmid),
+                               np.asarray(b - a) * (30.0 / 16.0) / 2.0,
+                               atol=1e-12)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="profile"):
+        InterpolatedSpace(base, "septic")
