@@ -25,6 +25,12 @@ from reak_tpu.spaces.se3 import (
     SE32ndOrderSpace,
     make_se3_space,
 )
+from reak_tpu.spaces.se2 import (
+    SE2Space,
+    SE21stOrderSpace,
+    SE22ndOrderSpace,
+    make_se2_space,
+)
 from reak_tpu.spaces.temporal import TemporalSpace
 from reak_tpu.spaces.rate_limited import RateLimitedNdofSpace, joint_limits_mapping
 from reak_tpu.spaces.interpolated import InterpolatedSpace
@@ -51,6 +57,10 @@ __all__ = [
     "SE31stOrderSpace",
     "SE32ndOrderSpace",
     "make_se3_space",
+    "SE2Space",
+    "SE21stOrderSpace",
+    "SE22ndOrderSpace",
+    "make_se2_space",
     "TemporalSpace",
     "RateLimitedNdofSpace",
     "joint_limits_mapping",

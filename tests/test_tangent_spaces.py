@@ -158,6 +158,62 @@ class TestSE3Orders:
         np.testing.assert_allclose(clamped.quat, a.quat, atol=1e-9)
 
 
+class TestSE2Orders:
+    """SE(2) pose + tangent bundles (ref: ctrl/topologies/se2_topologies.hpp:
+    62,85,114 and the rate-limited variants :230+)."""
+
+    def test_heading_wraps(self):
+        s = sp.SE2Space(jnp.full(2, -1.0), jnp.full(2, 1.0))
+        a = sp.se2.SE2Point(jnp.zeros(2), jnp.asarray(3.0))
+        b = sp.se2.SE2Point(jnp.zeros(2), jnp.asarray(-3.0))
+        # short way around the circle: |3 - (-3)| wraps to 2π - 6 ≈ 0.283
+        np.testing.assert_allclose(float(s.distance(a, b)),
+                                   2 * np.pi - 6.0, atol=1e-6)
+        mid = s.interpolate(a, b, 0.5)
+        # midpoint of the short arc crosses ±π, not 0
+        assert abs(abs(float(mid.theta)) - np.pi) < 1e-6
+        end = s.interpolate(a, b, 1.0)
+        np.testing.assert_allclose(
+            float(sp.se2.wrap_angle(end.theta - b.theta)), 0.0, atol=1e-6)
+
+    def test_first_order_metric_is_travel_time(self):
+        s = sp.SE21stOrderSpace(
+            pos_lower=jnp.full(2, -5.0), pos_upper=jnp.full(2, 5.0),
+            max_speed=2.0, max_ang_speed=1.0, max_acc=4.0, max_ang_acc=2.0)
+        a = s.sample(jax.random.PRNGKey(0), (16,))
+        assert a.pos.shape == (16, 2) and a.omega.shape == (16,)
+        assert bool(jnp.all(jnp.linalg.norm(a.vel, axis=-1) <= 2.0 + 1e-9))
+        assert bool(jnp.all(jnp.abs(a.omega) <= 1.0 + 1e-9))
+        b = s.sample(jax.random.PRNGKey(1), (16,))
+        d = s.distance(a, b)
+        np.testing.assert_allclose(d, s.distance(b, a), atol=1e-9)
+        np.testing.assert_allclose(s.distance(a, a), 0.0, atol=1e-9)
+        # pure 2 m translation at 2 m/s ⇒ 1 s
+        p = sp.se2.SE2Point1(jnp.zeros(2), jnp.asarray(0.0),
+                             jnp.zeros(2), jnp.asarray(0.0))
+        q = sp.se2.SE2Point1(jnp.array([2.0, 0.0]), jnp.asarray(0.0),
+                             jnp.zeros(2), jnp.asarray(0.0))
+        np.testing.assert_allclose(float(s.distance(p, q)), 1.0, atol=1e-9)
+
+    def test_second_order_and_factory(self):
+        s = sp.make_se2_space(
+            jnp.zeros(2), jnp.ones(2), order=2,
+            max_speed=1.0, max_ang_speed=1.0, max_acc=3.0, max_ang_acc=2.0)
+        assert isinstance(s, sp.SE22ndOrderSpace)
+        a = s.sample(jax.random.PRNGKey(2), (8,))
+        assert a.acc.shape == (8, 2) and a.alpha.shape == (8,)
+        assert bool(jnp.all(jnp.linalg.norm(a.acc, axis=-1) <= 3.0 + 1e-9))
+        np.testing.assert_allclose(s.distance(a, a), 0.0, atol=1e-9)
+        b = s.sample(jax.random.PRNGKey(3), (8,))
+        end = s.interpolate(a, b, 1.0)
+        np.testing.assert_allclose(end.acc, b.acc, atol=1e-9)
+        big = sp.se2.SE2Point2(a.pos, a.theta, a.vel, a.omega,
+                               a.acc * 100.0, a.alpha * 100.0)
+        cl = s.clamp(big)
+        assert bool(jnp.all(jnp.linalg.norm(cl.acc, axis=-1) <= 3.0 + 1e-6))
+        assert bool(jnp.all(jnp.abs(cl.alpha) <= 2.0 + 1e-9))
+
+
 class TestRendezvous:
     """Intercept planning in time × 1st-order joint space (VERDICT item 5's
     'Done' criterion; ref composition: intercept_query.hpp:75 over a
