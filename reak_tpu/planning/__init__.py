@@ -14,7 +14,12 @@ replaces the reference's one-sample-at-a-time loop (rr_tree.hpp:194) with a
 batch-parallel expansion wave, and the DVP-tree with masked brute-force NN on
 device (exact, and faster than tree traversal below ~10⁶ vertices).
 """
-from reak_tpu.planning.workspace import Workspace, NoObstacleWorkspace, ChainWorkspace
+from reak_tpu.planning.workspace import (
+    Workspace,
+    NoObstacleWorkspace,
+    ChainWorkspace,
+    bitmap_workspace,
+)
 from reak_tpu.planning.rrt import rrt_plan, birrt_plan
 from reak_tpu.planning.rrt_star import rrt_star_plan
 from reak_tpu.planning.prm import prm_plan

@@ -57,7 +57,9 @@ def bitmap_workspace(space, grid, lower, upper, n_checks: int = 16) -> Workspace
     bitmap test world (ref: topologies/ptrobot2D_test_world.hpp:65).
 
     ``grid``: (H, W) bool array, True = free; points map linearly from
-    [lower, upper] to pixel coordinates.
+    [lower, upper] to pixel coordinates.  Points may carry extra trailing
+    coordinates beyond the grid's two (e.g. the heading of a FlatSE2Space
+    pose — the reference's ptrobot world likewise checks only the position).
     """
     grid = jnp.asarray(grid, bool)
     lower = jnp.asarray(lower)
@@ -65,7 +67,7 @@ def bitmap_workspace(space, grid, lower, upper, n_checks: int = 16) -> Workspace
     hw = jnp.asarray(grid.shape, jnp.float32)
 
     def is_free(pts):
-        uv = (pts - lower) / (upper - lower)
+        uv = (pts[..., : lower.shape[-1]] - lower) / (upper - lower)
         ij = jnp.clip((uv * hw).astype(jnp.int32), 0, jnp.asarray(grid.shape) - 1)
         inside = jnp.all((uv >= 0) & (uv <= 1), axis=-1)
         return inside & grid[ij[:, 0], ij[:, 1]]

@@ -29,8 +29,10 @@ from reak_tpu.spaces.se2 import (
     SE2Space,
     SE21stOrderSpace,
     SE22ndOrderSpace,
+    FlatSE2Space,
     make_se2_space,
 )
+from reak_tpu.spaces.topomaps import DirectKinTopoMap, InverseKinTopoMap
 from reak_tpu.spaces.temporal import TemporalSpace
 from reak_tpu.spaces.rate_limited import RateLimitedNdofSpace, joint_limits_mapping
 from reak_tpu.spaces.interpolated import InterpolatedSpace
@@ -60,7 +62,10 @@ __all__ = [
     "SE2Space",
     "SE21stOrderSpace",
     "SE22ndOrderSpace",
+    "FlatSE2Space",
     "make_se2_space",
+    "DirectKinTopoMap",
+    "InverseKinTopoMap",
     "TemporalSpace",
     "RateLimitedNdofSpace",
     "joint_limits_mapping",

@@ -253,6 +253,52 @@ class SE22ndOrderSpace(SE21stOrderSpace):
         )
 
 
+class FlatSE2Space:
+    """Array-chart SE(2): points are plain ``(..., 3)`` arrays ``[x, y, θ]``
+    with the wrap-around heading metric — the representation the array-backed
+    planners (`planning/rrt.py` fixed-capacity vertex tables) consume, so a
+    mobile-robot pose plans exactly like a joint vector (the reference plans
+    SE(2) through the same generic topology concept, se2_topologies.hpp:145 +
+    ptrobot2D_test_world.hpp)."""
+
+    order = 0
+
+    def __init__(self, pos_lower, pos_upper, rot_weight: float = 1.0):
+        self.pos_space = HyperboxSpace(pos_lower, pos_upper)
+        self.rot_weight = float(rot_weight)
+
+    def sample(self, key, batch=()):
+        k1, k2 = jax.random.split(key)
+        pos = self.pos_space.sample(k1, batch)
+        theta = jax.random.uniform(k2, batch + (1,), minval=-jnp.pi, maxval=jnp.pi)
+        return jnp.concatenate([pos, theta], axis=-1)
+
+    def distance(self, a, b):
+        dp = self.pos_space.distance(a[..., :2], b[..., :2])
+        dr = jnp.abs(wrap_angle(a[..., 2] - b[..., 2]))
+        return jnp.sqrt(dp * dp + (self.rot_weight * dr) ** 2)
+
+    def interpolate(self, a, b, t):
+        tt = jnp.asarray(t)
+        tb = tt[..., None] if jnp.ndim(tt) else tt
+        pos = a[..., :2] + (b[..., :2] - a[..., :2]) * tb
+        dth = wrap_angle(a[..., 2] - b[..., 2])
+        theta = wrap_angle(a[..., 2] - dth * tt)
+        return jnp.concatenate([pos, theta[..., None]], axis=-1)
+
+    def difference(self, a, b):
+        return jnp.concatenate(
+            [a[..., :2] - b[..., :2], wrap_angle(a[..., 2] - b[..., 2])[..., None]],
+            axis=-1,
+        )
+
+    def clamp(self, p):
+        return jnp.concatenate(
+            [self.pos_space.clamp(p[..., :2]), wrap_angle(p[..., 2])[..., None]],
+            axis=-1,
+        )
+
+
 def make_se2_space(pos_lower, pos_upper, order=0, **limits):
     """Order-dispatched SE(2) space factory (ref: se2_topologies.hpp:145
     se2_topology order dispatch)."""
