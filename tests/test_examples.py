@@ -48,6 +48,7 @@ def test_crs_planner_cli(planner, capsys, tmp_path):
     assert os.path.exists(out)
 
 
+@pytest.mark.slow
 def test_crs_dynexec_pipeline(tmp_path, capsys):
     """The full online composite: estimate (TCP loopback stream) → predict →
     IK-mapped intercept plan → recorded output (ref: CRS_planner_dynexec.cpp:75
@@ -67,6 +68,7 @@ def test_crs_dynexec_pipeline(tmp_path, capsys):
     assert len(rows) >= 3  # header + at least two waypoints
 
 
+@pytest.mark.slow
 def test_x8_planner_cli(capsys):
     """X8 quadrotor + MEAQR topology + RRT* composition
     (ref: examples/misc/X8_run_planner.cpp; VERDICT r2 item 10)."""

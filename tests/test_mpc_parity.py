@@ -195,6 +195,7 @@ def _solve_oracle_kte(tmp_path, spec, H, dt, x0, Q, QN, R, lb, ub):
     return np.fromfile(fout, np.float64).reshape(H, m)
 
 
+@pytest.mark.slow
 def test_flagship_kte_end_to_end_parity_vs_cpp_oracle(tmp_path):
     """END-TO-END flagship parity (VERDICT r2 item 5): the oracle receives
     ONLY (chain parameters, x0, weights) — no JAX-derived matrices — builds
