@@ -62,8 +62,8 @@ def bitmap_workspace(space, grid, lower, upper, n_checks: int = 16) -> Workspace
     pose — the reference's ptrobot world likewise checks only the position).
     """
     grid = jnp.asarray(grid, bool)
-    lower = jnp.asarray(lower)
-    upper = jnp.asarray(upper)
+    lower = jnp.atleast_1d(jnp.asarray(lower))
+    upper = jnp.atleast_1d(jnp.asarray(upper))
     hw = jnp.asarray(grid.shape, jnp.float32)
 
     def is_free(pts):

@@ -5,8 +5,10 @@ and the rate-limited variants :230,253,282; differentiable_space.hpp:220 for
 the order stacking)
 
 A 0th-order point is ``SE2Point(pos (...,2), theta (...))`` with the heading
-on the circle (wrap-around metric and shortest-arc interpolation — the
-reference's line_segment_topology over the angle with its ring metric).  The
+on the circle (wrap-around metric and shortest-arc interpolation).  Note this
+deliberately *upgrades* the reference, which models the angle as a plain
+clipped bounded segment (line_topology.hpp:191 line_segment_topology — no
+ring metric): a true circle metric avoids the artificial ±π seam.  The
 1st-order bundle appends planar velocity ``vel (...,2)`` bounded by a
 max-speed disc and angular rate ``omega (...)``; the 2nd order appends
 ``acc (...,2)`` and ``alpha (...)``.  As in `spaces/se3.py`, rate limits make
@@ -110,11 +112,13 @@ class SE21stOrderSpace:
         max_ang_acc: float | None = None,
     ):
         self.pose = SE2Space(pos_lower, pos_upper)
-        self.max_speed = float(max_speed)
-        self.max_ang_speed = float(max_ang_speed)
-        self.inv_acc = 1.0 / max_acc if max_acc else 1.0 / max(max_speed, 1e-12)
+        # clamp divisors so a non-moving/non-rotating axis (max_*_speed=0)
+        # yields zero travel time when the coordinates agree, not NaN
+        self.max_speed = max(float(max_speed), 1e-12)
+        self.max_ang_speed = max(float(max_ang_speed), 1e-12)
+        self.inv_acc = 1.0 / max_acc if max_acc else 1.0 / self.max_speed
         self.inv_ang_acc = (
-            1.0 / max_ang_acc if max_ang_acc else 1.0 / max(max_ang_speed, 1e-12)
+            1.0 / max_ang_acc if max_ang_acc else 1.0 / self.max_ang_speed
         )
         self.vel_space = HyperballSpace(jnp.zeros(2), max_speed)
 
@@ -303,7 +307,7 @@ def make_se2_space(pos_lower, pos_upper, order=0, **limits):
     """Order-dispatched SE(2) space factory (ref: se2_topologies.hpp:145
     se2_topology order dispatch)."""
     if order == 0:
-        return SE2Space(pos_lower, pos_upper)
+        return SE2Space(pos_lower, pos_upper, **limits)
     if order == 1:
         return SE21stOrderSpace(pos_lower, pos_upper, **limits)
     if order == 2:

@@ -101,14 +101,16 @@ class SE31stOrderSpace:
         max_ang_acc: float | None = None,
     ):
         self.pose = SE3Space(pos_lower, pos_upper)
-        self.max_speed = float(max_speed)
-        self.max_ang_speed = float(max_ang_speed)
+        # clamp divisors: a zero rate limit on an unused axis must give zero
+        # travel time for equal coordinates, not NaN (ADVICE r3)
+        self.max_speed = max(float(max_speed), 1e-12)
+        self.max_ang_speed = max(float(max_ang_speed), 1e-12)
         # velocity-delta weights (seconds per unit Δv); default: one
         # "characteristic time" so the metric stays a time even without
         # acceleration limits
-        self.inv_acc = 1.0 / max_acc if max_acc else 1.0 / max(max_speed, 1e-12)
+        self.inv_acc = 1.0 / max_acc if max_acc else 1.0 / self.max_speed
         self.inv_ang_acc = (
-            1.0 / max_ang_acc if max_ang_acc else 1.0 / max(max_ang_speed, 1e-12)
+            1.0 / max_ang_acc if max_ang_acc else 1.0 / self.max_ang_speed
         )
         self.vel_space = HyperballSpace(jnp.zeros(3), max_speed)
         self.omega_space = HyperballSpace(jnp.zeros(3), max_ang_speed)
@@ -251,7 +253,7 @@ def make_se3_space(pos_lower, pos_upper, order=0, **limits):
     """Order-dispatched SE(3) space factory (ref: se3_topologies.hpp
     make_se3_space:213)."""
     if order == 0:
-        return SE3Space(pos_lower, pos_upper)
+        return SE3Space(pos_lower, pos_upper, **limits)
     if order == 1:
         return SE31stOrderSpace(pos_lower, pos_upper, **limits)
     if order == 2:
