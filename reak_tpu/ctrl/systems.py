@@ -126,6 +126,69 @@ def kte_ltv_linearizer(spec, dt: float, actuated=None, order: int = 4) -> Callab
     return linearizer
 
 
+def kte_manifold_ltv_linearizer(spec, dt: float, actuated=None,
+                                order: int = 4) -> Callable:
+    """Compile-cheap error-state LTV linearizer for FREE-BASE KTE chains.
+
+    Works in the tangent chart of ``kte.dynamics.state_retraction``:
+    e = [δp, δθ, δq_arm | δv].  Continuous error dynamics around the nominal:
+
+        δṗ = δv_base_lin            (base position rate is v[0:3] exactly)
+        δθ̇ = δω − ω̄ × δθ          (right-multiplicative quaternion error,
+                                     body-frame rates — the invariant-EKF
+                                     error kinematics)
+        δq̇_arm = δv_arm
+        δv̇  = (∂q̈/∂e_c) δc + (∂q̈/∂e_v) δv + M⁻¹ S_u δu
+
+    with the bottom row from the analytic ``linearize_fd`` (AD stops at the
+    dynamics terms) and exponential-series discretization — the same recipe as
+    ``kte_ltv_linearizer`` but manifold-correct, so AD never traces through
+    RK4 stages (whose jacfwd on a 25-state free-base chain takes minutes of
+    XLA compile).  Decision variable is the ABSOLUTE input: c_d = −B_d ū.
+
+    Returns ``linearizer(xs (H, nq+nv), us (H, nu)) → (A (H,2nv,2nv),
+    B (H,2nv,nu), c (H,2nv))`` for ctrl.mpc_manifold.solve_manifold.
+    """
+    from reak_tpu.kte.dynamics import linearize_fd
+    import reak_tpu.math.rotations as rot_mod  # noqa: F401  (chart docs)
+
+    nv = spec.nv
+    nq = spec.nq
+
+    def lin_one(x, u):
+        q, qd = x[:nq], x[nq:]
+        tau = u if actuated is None else actuated @ u
+        qdd, dq, dqd, msolve = linearize_fd(spec, q, qd, tau)
+        dtype = x.dtype
+        eye = jnp.eye(nv, dtype=dtype)
+        S = jnp.zeros((nv, nv), dtype)
+        if spec.has_free_base:
+            w = qd[3:6]  # nominal body angular rate
+            wx = jnp.array([[0.0, -w[2], w[1]],
+                            [w[2], 0.0, -w[0]],
+                            [-w[1], w[0], 0.0]], dtype)
+            S = S.at[3:6, 3:6].set(-wx)
+        A = jnp.block([[S, eye], [dq, dqd]])
+        nu = u.shape[-1]
+        Minv_S = msolve(eye if actuated is None else actuated)
+        B = jnp.concatenate(
+            [jnp.zeros((nv, nu), dtype), Minv_S[:, :nu]], axis=0)
+        # series discretization of the error flow; affine term −B_d ū keeps
+        # the nominal consistent with absolute-input decision variables
+        zero = jnp.zeros(2 * nv, dtype)
+        md = discretize_series(A, B, zero, zero, u, dt, order)
+        return md.A, md.B, md.c  # md.c = −B_d ū exactly (nominal error rate 0)
+
+    def linearizer(xs, us):
+        def body(_, xu):
+            return None, lin_one(*xu)
+
+        _, (A, B, c) = jax.lax.scan(body, None, (xs, us))
+        return A, B, c
+
+    return linearizer
+
+
 def rk4_discrete(f: Callable, dt: float) -> Callable:
     """Wrap a continuous system into a one-step discrete map with RK4
     (ref: ctrl/ctrl_sys/num_int_dtnl_system.hpp:55 num_int_dtnl_sys)."""
@@ -208,6 +271,26 @@ def lti_discrete(A, B) -> Callable:
         return A @ x + B @ u
 
     return F
+
+
+def kte_discrete(spec, dt: float, actuated=None) -> Callable:
+    """One-step RK4 map for a KTE chain that respects the configuration
+    manifold: for a free-base chain the base quaternion q[3:7] is renormalized
+    after the step (the reference keeps quaternions unit via its frame algebra,
+    frame_3D.hpp; under RK4 in ambient coordinates the norm drifts O(dt⁵)).
+    Pair with ``kte.dynamics.state_retraction`` for error-state MPC
+    (ctrl/mpc_manifold.py) on floating-base chains."""
+    F = rk4_discrete(kte_continuous(spec, actuated), dt)
+    if not spec.has_free_base:
+        return F
+
+    def F_renorm(x, u, t=0.0):
+        x1 = F(x, u, t)
+        q = x1[..., 3:7]
+        q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        return jnp.concatenate([x1[..., 0:3], q, x1[..., 7:]], axis=-1)
+
+    return F_renorm
 
 
 def kte_continuous(spec, actuated=None) -> Callable:

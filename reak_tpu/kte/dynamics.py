@@ -427,25 +427,57 @@ def inverse_dynamics(spec: ChainSpec, q, qd, qdd) -> jax.Array:
     return M @ qdd - f
 
 
+def state_retraction(spec: ChainSpec):
+    """Manifold chart for the packed state x = [q | q̇]: tangent dim 2·nv.
+
+    Fixed base: plain vector chart.  Free base: the configuration embeds one
+    unit quaternion at q[3:7], so the tangent uses a body-frame 3-vector
+    rotation error [δp, δθ, δq_joints, δq̇] — the same 6-DoF-per-body
+    parameterization the invariant filters use
+    (ref: satellite_invar_models.hpp:296 invariant error state;
+    ctrl/invariant.py quat_state_retraction).  This is what lifts the
+    fixed-base restriction of the LTV linearization: error dynamics are
+    linearized in this chart (ctrl/mpc_manifold.py), never in the
+    rank-deficient ambient quaternion coordinates.
+    """
+    from reak_tpu.ctrl.invariant import quat_state_retraction, vector_retraction
+
+    if spec.has_free_base:
+        return quat_state_retraction(3, spec.nq + spec.nv, 2 * spec.nv)
+    return vector_retraction(2 * spec.nv)
+
+
 def linearize_fd(spec: ChainSpec, q, qd, tau=None):
-    """Analytic-structure linearization of forward dynamics for fixed-base
-    chains (nq == nv): returns (qdd, ∂q̈/∂q, ∂q̈/∂q̇, M⁻¹ as a solve closure).
+    """Analytic-structure linearization of forward dynamics: returns
+    (qdd, ∂q̈/∂e_q, ∂q̈/∂e_q̇, M⁻¹ as a solve closure), where e is the
+    2·nv-dim tangent chart of ``state_retraction`` (for a fixed base that is
+    just (q, q̇); for a free base the configuration block is [δp, δθ, δq_arm]).
 
     Key identity:  ∂(M⁻¹(f+τ)) = M⁻¹(∂f − ∂M·q̈), so AD only runs through
-    ``dynamics_terms`` (12 tangents) and never through the Cholesky solve —
+    ``dynamics_terms`` (2·nv tangents) and never through the Cholesky solve —
     about 4× smaller trace than jacfwd of forward_dynamics, and one factor
     of M is reused for every right-hand side.
     """
-    if spec.has_free_base:
-        raise NotImplementedError("linearize_fd: fixed-base chains only")
     nv = spec.nv
 
-    def terms(x):
-        return dynamics_terms(spec, x[:nv], x[nv:])
+    if spec.has_free_base:
+        ret = state_retraction(spec)
+        x0 = jnp.concatenate([q, qd])
 
-    x = jnp.concatenate([q, qd])
-    M, f = terms(x)
-    dM, df = jax.jacfwd(terms)(x)  # dM: (nv, nv, 2nv), df: (nv, 2nv)
+        def terms(e):
+            x = ret.retract(x0, e)
+            return dynamics_terms(spec, x[: spec.nq], x[spec.nq :])
+
+        M, f = dynamics_terms(spec, q, qd)
+        dM, df = jax.jacfwd(terms)(jnp.zeros(2 * nv, q.dtype))
+    else:
+
+        def terms(x):
+            return dynamics_terms(spec, x[:nv], x[nv:])
+
+        x = jnp.concatenate([q, qd])
+        M, f = terms(x)
+        dM, df = jax.jacfwd(terms)(x)  # dM: (nv, nv, 2nv), df: (nv, 2nv)
     rhs = f if tau is None else f + tau
     L = jnp.linalg.cholesky(M)
 

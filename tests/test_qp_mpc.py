@@ -188,3 +188,96 @@ def test_mpc_nonlinear_pendulum_swingdown():
     (xf, _), traj = jax.lax.scan(step, (x0, jnp.zeros((H, 1))), None, length=30)
     err = np.abs(np.asarray(xf) - np.asarray(x_tgt))
     assert err[0] < 2e-2 and err[1] < 5e-2, (xf, x_tgt)
+
+
+# ---------------------------------------------------------------------------
+# BASELINE config 4: free-base belief-sampled scenario MPC
+# (ref: satellite_invar_models.hpp:296 + gaussian_belief_state.hpp:491 +
+#  belief_state_predictor.hpp:79 — composed TPU-natively in ctrl/mpc_manifold)
+# ---------------------------------------------------------------------------
+
+
+def _sat_setup(H=20, dt=0.1):
+    from reak_tpu.ctrl import ss_systems as sss
+
+    params = sss.satellite3D(mass=10.0, inertia=jnp.diag(jnp.array([4.0, 5.0, 6.0])))
+    F = sss.satellite3D_imdt(params, dt)
+    ret = sss.sat3D_retraction()
+    w = jnp.concatenate([jnp.full(6, 10.0), jnp.full(6, 1.0)])
+    prob = mpc.MPCProblem(
+        Q=jnp.diag(w), R=jnp.eye(6) * 0.05, QN=jnp.diag(10.0 * w),
+        u_min=jnp.full(6, -20.0), u_max=jnp.full(6, 20.0), horizon=H,
+    )
+    return sss, params, F, ret, prob
+
+
+def test_manifold_mpc_satellite_tracks_pose():
+    """Error-state MPC on the quaternion free body reaches a pose target and
+    keeps the quaternion exactly unit-norm (the ambient-coordinate LTV would
+    drift off the sphere)."""
+    from reak_tpu.ctrl import mpc_manifold as mm
+    from reak_tpu.math import rotations as rot
+
+    sss, _, F, ret, prob = _sat_setup()
+    Fu = lambda x, u: F(x, u)
+    x0 = sss.default_state()
+    x_ref = sss.default_state().at[0:3].set(jnp.array([1.0, 0.5, -0.3]))
+    x_ref = x_ref.at[3:7].set(
+        rot.q_from_axis_angle(jnp.array([0.0, 0.0, 1.0]), jnp.asarray(0.6)))
+
+    sol = mm.solve_manifold(Fu, ret, prob, x0, x_ref, qp_iters=8, sqp_iters=2)
+    xH = sol.x[-1]
+    np.testing.assert_allclose(float(jnp.linalg.norm(xH[3:7])), 1.0, atol=1e-9)
+    assert float(jnp.linalg.norm(xH[0:3] - x_ref[0:3])) < 0.1
+    dth = rot.q_log(rot.qmul(rot.qconj(x_ref[3:7]), xH[3:7]))
+    assert float(jnp.linalg.norm(dth)) < 0.1
+    # bounds respected
+    assert float(jnp.max(sol.u)) <= float(prob.u_max[0]) + 1e-8
+    assert float(jnp.min(sol.u)) >= float(prob.u_min[0]) - 1e-8
+
+
+def test_scenario_mpc_from_iekf_belief():
+    """The full config-4 pipeline: simulate the satellite with noisy pose
+    measurements, IEKF the posterior, sample scenario initial states in the
+    tangent space, solve the batched error-state MPC — every scenario must
+    reach the pose target within tolerance."""
+    from reak_tpu.ctrl import mpc_manifold as mm, invariant as inv
+    from reak_tpu.ctrl.belief import GaussianBelief
+    from reak_tpu.math import rotations as rot
+
+    sss, params, F, ret, prob = _sat_setup()
+    Fu = lambda x, u, t=0.0: F(x, u, t)
+    rng = np.random.default_rng(7)
+
+    # --- IEKF over a short measured arc (simulation as oracle, SURVEY §4) --
+    Q = 1e-6 * jnp.eye(12)
+    R = jnp.diag(jnp.concatenate([jnp.full(3, 1e-4), jnp.full(3, 1e-5)]))
+    x_true = sss.default_state().at[10:13].set(jnp.array([0.02, -0.01, 0.03]))
+    b = GaussianBelief(sss.default_state(), 0.1 * jnp.eye(12))
+    u_zero = jnp.zeros(6)
+    for _ in range(12):
+        x_true = F(x_true, u_zero)
+        z = sss.h_pose(x_true)
+        z = z.at[0:3].add(jnp.asarray(rng.normal(0, 1e-2, 3)))
+        b = inv.iekf_step(Fu, sss.h_pose, ret, b, u_zero, z, Q, R,
+                          diff=sss.pose_innovation)
+
+    # posterior concentrates near truth (tangent-space error)
+    e_post = ret.local(x_true, b.mean)
+    assert float(jnp.linalg.norm(e_post[0:6])) < 0.05
+
+    # --- belief-sampled scenario MPC to a pose target ----------------------
+    x_ref = sss.default_state().at[0:3].set(jnp.array([0.5, -0.2, 0.3]))
+    key = jax.random.PRNGKey(3)
+    x0s, us, xs = mm.belief_scenario_mpc(
+        key, Fu, ret, prob, b, 6, x_ref, qp_iters=8, sqp_iters=2)
+    assert us.shape == (6, prob.horizon, 6)
+    # all sampled quaternions stay unit
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(x0s[:, 3:7]), axis=-1), 1.0, atol=1e-9)
+    # every scenario's plan reaches the target pose
+    perr = jnp.linalg.norm(xs[:, -1, 0:3] - x_ref[0:3], axis=-1)
+    assert float(jnp.max(perr)) < 0.2, perr
+    # scenario sampling is invariant to where fold_in keys are evaluated
+    x0s_again = mm.sample_belief_states(key, b, 6, ret)
+    np.testing.assert_allclose(np.asarray(x0s), np.asarray(x0s_again))
