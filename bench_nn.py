@@ -13,7 +13,9 @@ on the default backend (TPU when available); the DVP-tree runs its natural
 best implementation — host-resident recursion with numpy leaf evaluation
 (driving a tunneled TPU per tree node would measure only link latency).
 
-Writes NN_r03.json and prints it.
+Writes NN_r04.json and prints it.  Brute timing is amortized (chained
+data-dependent waves, one pull) so it measures device compute, not the
+tunnel round-trip.
 """
 import json
 import time
@@ -27,18 +29,34 @@ from reak_tpu.planning.rrt import _masked_nn
 
 
 def bench_brute(pts, queries, reps=20):
+    """Amortized-sync timing: the planner enqueues many NN waves per pulled
+    result, so the measured unit chains ``reps`` DATA-DEPENDENT waves on
+    device and pulls ONCE — per-wave np.asarray pulls through the tunneled
+    TPU backend measure only the ~28 ms link round-trip (VERDICT r3 weak #4),
+    invariant in N and dim."""
     cap = pts.shape[0]
     dist_fn = lambda a, b: jnp.linalg.norm(a - b, axis=-1)
-    f = jax.jit(lambda V, c, Q: _masked_nn(V, c, Q, dist_fn))
+
+    def wave(V, c, Q):
+        idx = _masked_nn(V, c, Q, dist_fn)
+        # feed the result into the next wave's queries (defeats any relay
+        # caching; negligible extra work)
+        return Q + 1e-12 * V[idx], idx
+
+    f = jax.jit(wave)
     V = jnp.asarray(pts, jnp.float32)
-    Q = jnp.asarray(queries, jnp.float32)
+    Q0 = jnp.asarray(queries, jnp.float32)
     c = jnp.asarray(cap, jnp.int32)
-    idx = np.asarray(f(V, c, Q))  # compile + warm
+    Q, idx = f(V, c, Q0)
+    idx_np = np.asarray(idx)  # compile + warm + one pull
     t0 = time.perf_counter()
+    Q = Q0
     for _ in range(reps):
-        idx = np.asarray(f(V, c, Q))
+        Q, idx = f(V, c, Q)
+    idx_np2 = np.asarray(idx)  # single pull drains the chain
     dt = (time.perf_counter() - t0) / reps
-    return dt * 1e3, idx
+    assert (idx_np2 == idx_np).all()  # chain perturbation didn't change NN
+    return dt * 1e3, idx_np
 
 
 def bench_dvp(pts, queries, reps=3):
@@ -66,11 +84,20 @@ def main():
     rng = np.random.default_rng(0)
     K = 64
     results = []
-    for N in (10_000, 100_000):
+    for N in (10_000, 100_000, 1_000_000):
         for dim in (6, 12):
             pts = rng.uniform(-1, 1, (N, dim))
             queries = rng.uniform(-1, 1, (K, dim))
             brute_ms, bi = bench_brute(pts, queries)
+            if N > 100_000:
+                # host tree build at 1e6 pts takes minutes and already loses
+                # by >10x at 1e5; record brute scaling only
+                results.append(dict(
+                    n_vertices=N, dim=dim, wave_queries=K,
+                    brute_ms_per_wave=round(brute_ms, 3),
+                    winner="brute"))
+                print(results[-1])
+                continue
             build_s, dvp_ms, di = bench_dvp(pts, queries)
             agree = float(np.mean(bi == di))
             results.append(dict(
@@ -94,7 +121,7 @@ def main():
             "DVPTree remains for host-resident query sets"
         ),
     )
-    with open("NN_r03.json", "w") as f:
+    with open("NN_r04.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"metric": "nn_wave_64q_1e5pts_12d", "value":
                       results[-1]["brute_ms_per_wave"], "unit": "ms"}))

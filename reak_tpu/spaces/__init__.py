@@ -33,6 +33,7 @@ from reak_tpu.spaces.se2 import (
     make_se2_space,
 )
 from reak_tpu.spaces.topomaps import DirectKinTopoMap, InverseKinTopoMap
+from reak_tpu.spaces.belief import GaussianBeliefSpace
 from reak_tpu.spaces.temporal import TemporalSpace
 from reak_tpu.spaces.rate_limited import RateLimitedNdofSpace, joint_limits_mapping
 from reak_tpu.spaces.interpolated import InterpolatedSpace
