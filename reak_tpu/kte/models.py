@@ -401,3 +401,30 @@ def flexible_beam(
         gravity=(0.0, 0.0, -gravity),
         name=f"flexible_beam_{n}",
     )
+
+
+def uav_kinematics(
+    mass=1.0,
+    inertia_diag=(0.01, 0.01, 0.02),
+    sensor_offset=(0.1, 0.0, -0.05),
+    gravity=9.81,
+) -> ChainSpec:
+    """UAV (quadrotor) kinematics chain: one FREE joint carrying the airframe
+    body plus a FIXED sensor/camera frame offset from it
+    (ref: ctrl/kte_models/uav_kinematics.hpp UAV_kinematics — a free-floating
+    coordinate frame with the quadrotor body hanging off it; the dynamics
+    pairing lives in ctrl.ss_systems.quadrotor).
+
+    The fixed second link gives the planner/DK-map a distinct end-effector
+    frame (the ref model's output frame) without adding DoFs.
+    """
+    inert = np.zeros((2, 3, 3))
+    inert[0] = np.diag(inertia_diag)
+    return ChainSpec.build(
+        joint_types=[FREE, FIXED],
+        offsets_pos=[[0.0, 0.0, 0.0], list(sensor_offset)],
+        masses=[mass, 0.0],
+        inertias=inert,
+        gravity=(0.0, 0.0, -gravity),
+        name="uav_kinematics",
+    )
