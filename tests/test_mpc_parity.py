@@ -228,3 +228,35 @@ def test_flagship_kte_end_to_end_parity_vs_cpp_oracle(tmp_path):
     active = np.sum((np.abs(u_cpp - lb[None, :]) < 1e-6)
                     | (np.abs(u_cpp - ub[None, :]) < 1e-6))
     assert active > 0, "no active box constraints — weak test instance"
+
+
+def test_flagship_kte_e2e_parity_reduced_default(tmp_path):
+    """DEFAULT-SET flagship e2e parity (VERDICT r3 item 6): same 6-DoF 3R3R
+    chain and --kte oracle protocol as the full H=50 slow test, reduced to
+    H=8 so the rollout compiles in seconds — every default run re-proves the
+    central correctness claim (oracle builds its OWN dynamics + FD
+    linearization from raw chain parameters)."""
+    from reak_tpu.kte import models, lanes
+    from reak_tpu.ctrl.riccati import solve_box_mpc_riccati
+
+    spec = models.manip_3r3r()
+    H, dt = 8, 0.01
+    rng = np.random.default_rng(0)
+    x0 = np.concatenate([rng.uniform(-0.5, 0.5, 6), rng.uniform(-0.2, 0.2, 6)])
+    lb = np.full(6, -1.0)
+    ub = np.full(6, 1.0)
+    u_cpp = _solve_oracle_kte(tmp_path, spec, H, dt, x0, FLAGSHIP_Q,
+                              FLAGSHIP_QN, FLAGSHIP_R, lb, ub)
+    assert np.all(np.isfinite(u_cpp))
+
+    roll = lanes.make_rollout_ltv_batchfirst(spec, dt, H)
+    A, B, c, _ = roll(jnp.asarray(x0)[None], jnp.zeros((1, H, 6)))
+    u_jax, _ = solve_box_mpc_riccati(
+        A[0], B[0], c[0], jnp.asarray(FLAGSHIP_Q), jnp.asarray(FLAGSHIP_QN),
+        jnp.asarray(FLAGSHIP_R), jnp.asarray(x0), jnp.asarray(lb),
+        jnp.asarray(ub), iters=30)
+    err = float(np.abs(np.asarray(u_jax) - u_cpp).max())
+    assert err <= 1e-4, f"reduced e2e flagship parity {err:.2e} > 1e-4"
+    active = np.sum((np.abs(u_cpp - lb[None, :]) < 1e-6)
+                    | (np.abs(u_cpp - ub[None, :]) < 1e-6))
+    assert active > 0, "no active box constraints — weak test instance"
