@@ -95,6 +95,69 @@ def run_point(n_dev, horizon=HORIZON, batch_per_device=BATCH_PER_DEV,
     return B * 1.0 / dt  # solves/s (weak scaling: B grows with n_dev)
 
 
+def analytic_two_host_model():
+    """Analytic 2-host efficiency prediction (VERDICT r3 item 8).
+
+    The parallel layout is PURELY batch-parallel: each chip solves its own
+    scenario shard; the ONLY cross-device communication per step is the
+    psum/pmean of one f32 summary scalar per shard (4 bytes per device per
+    step — see __graft_entry__.dryrun_multichip and run_point's local()).
+    Inputs are generated per-host (jax.make_array_from_callback feeds each
+    process's addressable shards; no host-0 scatter), and per-scenario
+    fold_in keys make the draw mesh-shape invariant, so no input traffic
+    crosses DCN either.
+
+    Weak-scaling efficiency at 2 hosts = t_compute / (t_compute + t_coll)
+    where t_coll is one small-message all-reduce over the cross-host link.
+    Inputs to the model (stated assumptions):
+      * t_compute: measured per-step device time of the flagship bench
+        (BENCH full phase, B=8192) — read from BENCH_r04/BENCH_r03 artifact
+        when present;
+      * DCN small all-reduce latency: 1 ms worst case (typical gRPC/TCP
+        cross-host allreduce of <1 KB is 100-500 us; ICI would be ~5 us);
+      * no other cross-host dependencies (verified: solver has no sharded
+        axes other than the scenario batch; collective count = 1/step).
+    """
+    t_compute_ms = None
+    src = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in ("BENCH_r04.json", "BENCH_r03.json"):
+        p = os.path.join(here, name)
+        if os.path.exists(p):
+            try:
+                with open(p) as f:
+                    doc = json.load(f)
+                t_compute_ms = doc["phase_ms"]["full"]
+                src = name
+                break
+            except Exception:
+                pass
+    if t_compute_ms is None:
+        t_compute_ms = 95.7  # last committed flagship full-phase time
+        src = "fallback: r3 measured full phase"
+    t_coll_ms_worst = 1.0
+    t_coll_ms_typ = 0.3
+    eff = lambda tc, tl: tc / (tc + tl)
+    return {
+        "collective_bytes_per_step_per_device": 4,
+        "collectives_per_step": 1,
+        "t_compute_ms_per_step": t_compute_ms,
+        "t_compute_source": src,
+        "dcn_small_allreduce_ms": {"typical": t_coll_ms_typ,
+                                   "worst_assumed": t_coll_ms_worst},
+        "predicted_2host_efficiency": {
+            "typical": round(eff(t_compute_ms, t_coll_ms_typ), 4),
+            "worst": round(eff(t_compute_ms, t_coll_ms_worst), 4),
+        },
+        "meets_85pct_target": eff(t_compute_ms, t_coll_ms_worst) >= 0.85,
+        "risk_notes": (
+            "prediction assumes per-host input generation (no host-0 "
+            "scatter) and one scalar pmean per step; any per-step host "
+            "pull of the full us batch would add B*H*m*4 bytes over DCN "
+            "and dominate — the bench path never does this"),
+    }
+
+
 def main():
     points = [1, 2, 4, N_DEVICES] if N_DEVICES >= 4 else [1, N_DEVICES]
     points = sorted(set(p for p in points if p <= len(jax.devices())))
@@ -133,6 +196,9 @@ def main():
         # the number is only meaningful with SCALING_REAL_TPU=1 on a slice
         "backend": "cpu-virtual (sharding validation only)" if virtual
                    else "tpu",
+        # analytic 2-host prediction: the measurable claim this harness
+        # cannot produce on one chip (VERDICT r3 item 8)
+        "two_host_model": analytic_two_host_model(),
     }))
 
 
