@@ -25,3 +25,20 @@ Layer map (mirrors the capability layers of the reference, SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# The reference framework is double-precision scalar C++ throughout; its
+# capabilities (filter consistency, QP duality gaps, proximity signs) assume
+# true-precision contractions.  JAX's default TPU matmul precision rounds
+# f32 operands to bf16 on the MXU (~3 decimal digits), which silently injects
+# ~1e-3 relative error into every jnp.einsum/@ in the dynamics and solver
+# paths.  The framework's hot kernels are lanes-layout VPU code (unaffected),
+# so defaulting the remaining contractions to full f32 costs ~nothing and is
+# required for the documented parity bars (BASELINE.md: ≤1e-4 vs oracle).
+# Opt out (e.g. for bf16 throughput experiments) with REAK_TPU_FAST_MATMUL=1.
+if _os.environ.get("REAK_TPU_FAST_MATMUL", "") != "1" and \
+        _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")

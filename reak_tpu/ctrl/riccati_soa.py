@@ -198,11 +198,27 @@ def solve_box_mpc_riccati_soa_fused(A_seq, B_seq, c_seq, Q, QN, R, x0, lb,
     path by ~43%.  Numerics identical to the unfused solver (asserted at
     f64 in tests/test_riccati_soa.py).
 
-    ``use_kernels="auto"`` additionally runs the fused reverse pass as ONE
-    whole-pass Pallas kernel (ops/riccati_bwd_pallas.py — carries resident
-    in VMEM scratch across the horizon) when on TPU with a tile-aligned
-    batch; "never" forces the lax.scan path (CPU/tests)."""
+    ``use_kernels="auto"`` runs the ENTIRE solve as ONE whole-solve Pallas
+    kernel (ops/pdip_whole_pallas.py — all interior-point iterations with
+    the full-horizon LTV data, gains, and primal/dual state resident in
+    VMEM; A/B are read from HBM once per solve instead of 4× per
+    iteration) when on TPU with a 128-aligned batch and no references;
+    "passes" keeps the round-3 per-pass kernels (ops/riccati_bwd_pallas.py);
+    "never" forces the lax.scan path (CPU/tests)."""
     from reak_tpu.ops import riccati_bwd_pallas as rbp
+    from reak_tpu.ops import pdip_whole_pallas as pwp
+
+    whole_ok = (
+        use_kernels in ("auto", "whole")
+        and x_ref is None and u_ref is None
+        and A_seq.ndim == 4
+        and A_seq.shape[-1] % pwp._TILE == 0
+        and (jax.default_backend() not in ("cpu",) or pwp.FORCE_INTERPRET)
+    )
+    if whole_ok:
+        whole = pwp.make_whole_pdip(A_seq.shape[0], A_seq.shape[1],
+                                    B_seq.shape[2], iters, tile=pwp._TILE)
+        return whole(A_seq, B_seq, c_seq, x0, Q, QN, R, lb, ub)
 
     H = A_seq.shape[0]
     m = B_seq.shape[2]

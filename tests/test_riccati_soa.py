@@ -141,3 +141,28 @@ def test_pdip_pallas_pass_kernels_match_scan(rng, monkeypatch):
                                              iters=6, use_kernels="auto")
     np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_pdip_whole_solve_kernel_matches_scan(rng, monkeypatch):
+    """The whole-solve Pallas kernel (ops/pdip_whole_pallas: ALL interior-
+    point iterations in one launch, VMEM-resident state) matches the
+    lax.scan fused path — interpret mode, f64 byte-equality at convergence."""
+    import reak_tpu.ops.pdip_whole_pallas as pwp
+    from reak_tpu.ctrl.riccati_soa import solve_box_mpc_riccati_soa_fused
+
+    monkeypatch.setattr(pwp, "_TILE", 2)
+    monkeypatch.setattr(pwp, "FORCE_INTERPRET", True)
+    H, n, m, B = 6, 4, 2, 4
+    A = jnp.asarray(rng.standard_normal((H, n, n, B)) * 0.1
+                    + np.eye(n)[None, :, :, None])
+    Bm = jnp.asarray(rng.standard_normal((H, n, m, B)) * 0.2)
+    c = jnp.asarray(rng.standard_normal((H, n, B)) * 0.05)
+    x0 = jnp.asarray(rng.standard_normal((n, B)))
+    Q, QN, R = jnp.eye(n), jnp.eye(n) * 5.0, jnp.eye(m) * 0.1
+    lb, ub = jnp.full(m, -1.5), jnp.full(m, 1.5)
+    u1, x1 = solve_box_mpc_riccati_soa_fused(A, Bm, c, Q, QN, R, x0, lb, ub,
+                                             iters=6, use_kernels="never")
+    u2, x2 = solve_box_mpc_riccati_soa_fused(A, Bm, c, Q, QN, R, x0, lb, ub,
+                                             iters=6, use_kernels="whole")
+    assert np.max(np.abs(np.asarray(u1) - np.asarray(u2))) < 1e-9
+    assert np.max(np.abs(np.asarray(x1) - np.asarray(x2))) < 1e-9
