@@ -3,8 +3,11 @@
 horizon H=50 (BASELINE.json north star; target ≥ 5000 solves/s/chip).
 
 One "solve" = the full per-scenario pipeline on device:
-  fused Pallas step-core rollout + LTV linearization (ops/kte_core_pallas.py)
-  → scan-fused Riccati interior-point box-QP (Mehrotra, 8 iterations).
+  whole-step Pallas rollout + LTV linearization (ops/kte_core_pallas.py
+  make_step_lanes — dynamics core + series discretization in one kernel,
+  (8, 128)-tile registers) → whole-solve Riccati interior-point box-QP
+  (ops/pdip_whole_pallas.py — ALL Mehrotra iterations in one launch,
+  VMEM-resident state).
 
 Accounting (VERDICT r2 item 1):
   * phase_ms — rollout+linearize vs PDIP, measured separately with
@@ -20,7 +23,7 @@ Accounting (VERDICT r2 item 1):
   * hbm_gbps — analytic per-solve HBM traffic (array reads/writes of the
     scan-carried sequences; formula in _hbm_bytes_per_solve) over wall time.
 
-Also writes PALLAS_r03.json: on-hardware numerics of both Pallas kernels
+Also writes PALLAS_r04.json: on-hardware numerics of both Pallas kernels
 (lanes Cholesky + fused KTE step core) vs their XLA fallbacks.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
@@ -58,19 +61,18 @@ def amortized(fn, args, reps):
 
 
 def _hbm_bytes_per_solve(H, n, m, iters):
-    """Analytic main-memory traffic per scenario per solve (f32):
-    rollout writes (A, B, c, x) once; each PDIP iteration re-reads (A, B)
-    in 4 scans, stage data in 2, and streams (K, G, k, grad, du, dx) —
-    intermediate fusions excluded (lower bound on traffic)."""
+    """Analytic main-memory traffic per scenario per solve (f32), for the
+    round-4 whole-solve structure: the fullfused rollout writes (A, B, c,
+    xs) once; the whole-solve PDIP kernel (ops/pdip_whole_pallas.py) then
+    reads (A, B, c, x0) exactly ONCE — all interior-point state, gains and
+    Schur factors stay VMEM-resident across every iteration — and writes
+    (u, xs).  ``iters`` no longer multiplies any traffic term; it is kept
+    in the signature for the config record."""
     f = 4  # bytes per f32
-    roll = H * (n * n + n * m + 2 * n) * f
-    per_iter = (
-        4 * H * (n * n + n * m) * f        # A,B read by 4 scans
-        + 2 * H * (2 * n + 2 * m) * f      # qs/u/D/z reads
-        + H * (m * n + m * m + 4 * m) * f  # K,G,k,grad writes
-        + H * (2 * m + n) * f              # du, dx
-    )
-    return roll + iters * per_iter
+    roll_writes = H * (n * n + n * m + 2 * n) * f
+    pdip_reads = H * (n * n + n * m + n) * f + n * f
+    outputs = H * (m + n) * f
+    return roll_writes + pdip_reads + outputs
 
 
 def main():
@@ -114,7 +116,7 @@ def main():
 
     # ---- phase split -----------------------------------------------------
     on_tpu = jax.default_backend() not in ("cpu",)
-    roll = (lanes.make_rollout_ltv_fused(spec, dt, horizon)
+    roll = (lanes.make_rollout_ltv_fullfused(spec, dt, horizon)
             if on_tpu and batch % kte_core_pallas._TILE == 0
             else lanes.make_rollout_ltv_lanes(spec, dt, horizon))
     f_roll = jax.jit(lambda x, u: sum(jnp.sum(o) for o in roll(x, u)))
@@ -127,22 +129,23 @@ def main():
     t_pdip = amortized(f_pdip, (A_l, B_l, c_l, x0.T), reps)
 
     # ---- analytic FLOPs: per-step cost analysis x trip counts -------------
+    # XLA's cost model cannot see inside pallas_call custom-calls, so the
+    # counts come from the mathematically identical scan/XLA variants
+    # (lanes rollout, use_kernels="never" PDIP) of the same pipeline.
     flops_per_solve = float("nan")
     try:
         # H=1 rollout is the loop-free step body; PDIP per-iteration flops
         # from the iters=2 − iters=1 difference (removes the shared pre/post)
-        roll1 = (lanes.make_rollout_ltv_fused(spec, dt, 1)
-                 if on_tpu and batch % kte_core_pallas._TILE == 0
-                 else lanes.make_rollout_ltv_lanes(spec, dt, 1))
+        roll1 = lanes.make_rollout_ltv_lanes(spec, dt, 1)
         ca_roll = jax.jit(roll1).lower(x0, u0[:, :1]).compile().cost_analysis()
         f_pdip1 = jax.jit(lambda A, Bm, c, xT: jnp.sum(
             solve_box_mpc_riccati_soa_fused(
                 A, Bm, c, prob.Q, prob.QN, prob.R, xT, prob.u_min,
-                prob.u_max, iters=1)[0]))
+                prob.u_max, iters=1, use_kernels="never")[0]))
         f_pdip2 = jax.jit(lambda A, Bm, c, xT: jnp.sum(
             solve_box_mpc_riccati_soa_fused(
                 A, Bm, c, prob.Q, prob.QN, prob.R, xT, prob.u_min,
-                prob.u_max, iters=2)[0]))
+                prob.u_max, iters=2, use_kernels="never")[0]))
         ca1 = f_pdip1.lower(A_l, B_l, c_l, x0.T).compile().cost_analysis()
         ca2 = f_pdip2.lower(A_l, B_l, c_l, x0.T).compile().cost_analysis()
         fl_roll_step = ca_roll.get("flops", float("nan"))
@@ -175,7 +178,7 @@ def main():
         errs = [float(jnp.max(jnp.abs(a - b)))
                 for a, b in zip(core_k(xk, uk), core_x(xk, uk))]
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "PALLAS_r03.json"), "w") as f:
+                               "PALLAS_r04.json"), "w") as f:
             json.dump({
                 "backend": jax.default_backend(),
                 "device": str(jax.devices()[0]),

@@ -274,7 +274,7 @@ def make_kte_mpc(spec, problem: MPCProblem, dt: float, qp_iters: int = 8,
     if rollout in ("lanes", "fused", "auto") and qp_layout == "lanes":
         from reak_tpu.ops import kte_core_pallas as kcp
 
-        roll_fused = lanes.make_rollout_ltv_fused(spec, dt, H)
+        roll_fused = lanes.make_rollout_ltv_fullfused(spec, dt, H)
         roll_lanes = lanes.make_rollout_ltv_lanes(spec, dt, H)
 
         def pick_roll(B):

@@ -23,14 +23,23 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from reak_tpu.kte.spec import ChainSpec
 
 FORCE_INTERPRET = os.environ.get("REAK_PALLAS_INTERPRET", "") == "1"
 
-# VMEM budget: the ~10⁴-value dataflow of the 6-DoF core peaks at ~12 MB of
-# scoped VMEM at lane tile 512 (measured; 1024 exceeds the 16 MB limit)
-_TILE = 512
+# Tile 1024 = one full (8, 128) f32 VPU tile of scenarios per register value;
+# the ~10⁴-value dataflow of the 6-DoF core peaks at ~24 MB of scoped VMEM
+# (raise/lower with REAK_KTE_VMEM, MiB)
+_TILE = 1024
+_VMEM_LIMIT = int(os.environ.get("REAK_KTE_VMEM", 64)) * 1024 * 1024
+
+# Batch tiles are shaped (tile//128, 128) inside the kernels: a flat (tile,)
+# value occupies 1 sublane × tile/128 lane-groups (⅛ VPU row utilization per
+# op); the 2-D shape fills all 8 sublanes at tile=1024.  The reshapes happen
+# at the array boundary (contiguous, metadata-only) — kernel refs are blocked
+# directly in (…, ts, 128) form so no in-kernel relayout is needed.
 
 
 def make_core(spec: ChainSpec):
@@ -64,8 +73,10 @@ def make_core(spec: ChainSpec):
             ft[i] - sum(Mt[i][j] * qdd[j] for j in range(nv))
             for i in range(nv)
         )
+        ones = (1,) * len(batch_shape)
         eye_rhs = tuple(
-            (jax.lax.broadcasted_iota(jnp.int32, (nv, 1), 0) == i).astype(dt_)
+            (jax.lax.broadcasted_iota(jnp.int32, (nv,) + ones, 0) == i
+             ).astype(dt_)
             for i in range(nv)
         )
         dd_sol, minv_sol = soa._chol_solve_reg(M, [dd_rhs, eye_rhs])
@@ -85,38 +96,55 @@ def make_core_lanes(spec: ChainSpec, tile: int = _TILE, interpret: bool = None):
     n = 2 * nv
     core = make_core(spec)
 
+    # Compiled TPU path: batch tiles shaped (ts, 128) so each register value
+    # fills whole (8, 128) VPU tiles.  Tiny unaligned tiles (interpret-mode
+    # tests) keep the flat (tile,) layout.
+    two_d = tile % (8 * 128) == 0
+    ts = tile // 128 if two_d else 1
+
     def kernel(x_ref, u_ref, qdd_ref, dd_ref, minv_ref):
-        x_tup = tuple(x_ref[i, :] for i in range(n))
-        u_cols = tuple(u_ref[i, :] for i in range(nv))
+        x_tup = tuple(x_ref[i] for i in range(n))    # (ts, 128) or (tile,)
+        u_cols = tuple(u_ref[i] for i in range(nv))
         qdd, dd_sol, minv_sol = core(x_tup, u_cols)
         for i in range(nv):
-            qdd_ref[i, :] = qdd[i]
-            dd_ref[i] = dd_sol[i]  # (n, tile)
+            qdd_ref[i] = qdd[i]
+            dd_ref[i] = dd_sol[i]
             minv_ref[i] = minv_sol[i] + jnp.zeros_like(minv_ref[i])
 
     def fn(x, u):
         B = x.shape[-1]
         assert B % tile == 0, f"batch {B} not a multiple of tile {tile}"
         grid = B // tile
-        return pl.pallas_call(
-            kernel,
-            grid=(grid,),
-            in_specs=[
-                pl.BlockSpec((n, tile), lambda i: (0, i)),
-                pl.BlockSpec((nv, tile), lambda i: (0, i)),
-            ],
-            out_specs=[
-                pl.BlockSpec((nv, tile), lambda i: (0, i)),
-                pl.BlockSpec((nv, n, tile), lambda i: (0, 0, i)),
-                pl.BlockSpec((nv, nv, tile), lambda i: (0, 0, i)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((nv, B), x.dtype),
-                jax.ShapeDtypeStruct((nv, n, B), x.dtype),
-                jax.ShapeDtypeStruct((nv, nv, B), x.dtype),
-            ],
+        if two_d:
+            nt = B // 128
+            bshape = lambda *lead: (*lead, ts, 128)
+            bmap3 = lambda i: (0, i, 0)
+            bmap4 = lambda i: (0, 0, i, 0)
+            oshape = lambda *lead: (*lead, nt, 128)
+            xin = (x.reshape(n, nt, 128), u.reshape(nv, nt, 128))
+        else:
+            bshape = lambda *lead: (*lead, tile)
+            bmap3 = lambda i: (0, i)
+            bmap4 = lambda i: (0, 0, i)
+            oshape = lambda *lead: (*lead, B)
+            xin = (x, u)
+        in_specs = [pl.BlockSpec(bshape(n), bmap3),
+                    pl.BlockSpec(bshape(nv), bmap3)]
+        out_specs = [pl.BlockSpec(bshape(nv), bmap3),
+                     pl.BlockSpec(bshape(nv, n), bmap4),
+                     pl.BlockSpec(bshape(nv, nv), bmap4)]
+        out_shape = [jax.ShapeDtypeStruct(oshape(nv), x.dtype),
+                     jax.ShapeDtypeStruct(oshape(nv, n), x.dtype),
+                     jax.ShapeDtypeStruct(oshape(nv, nv), x.dtype)]
+        qdd, dd, minv = pl.pallas_call(
+            kernel, grid=(grid,), in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(x, u)
+        )(*xin)
+        return (qdd.reshape(nv, B), dd.reshape(nv, n, B),
+                minv.reshape(nv, nv, B))
 
     return fn
 
@@ -198,9 +226,12 @@ def make_step_lanes(spec: ChainSpec, dt: float, order: int = 4,
     n = 2 * nv
     core = make_core(spec)
 
+    two_d = tile % (8 * 128) == 0
+    ts = tile // 128 if two_d else 1
+
     def kernel(x_ref, u_ref, Ad_ref, Bd_ref, cd_ref, xn_ref):
-        x_tup = tuple(x_ref[i, :] for i in range(n))
-        u_cols = tuple(u_ref[i, :] for i in range(nv))
+        x_tup = tuple(x_ref[i] for i in range(n))    # (ts, 128) or (tile,)
+        u_cols = tuple(u_ref[i] for i in range(nv))
         qdd, dd_sol, minv_sol = core(x_tup, u_cols)
         # A_c = [[0, I], [dqdd]], B_c = [[0], [M^-1]] as nested lists
         A_c = [[1.0 if j == nv + i else 0.0 for j in range(n)]
@@ -234,36 +265,47 @@ def make_step_lanes(spec: ChainSpec, dt: float, order: int = 4,
         asarr = lambda v: zero + v  # literal floats → lanes arrays
         for i in range(n):
             for j in range(n):
-                Ad_ref[i, j, :] = asarr(Ad[i][j])
+                Ad_ref[i, j] = asarr(Ad[i][j])
             for j in range(nv):
-                Bd_ref[i, j, :] = asarr(Bd[i][j])
-            cd_ref[i, :] = asarr(cd[i])
-            xn_ref[i, :] = asarr(x_new[i])
+                Bd_ref[i, j] = asarr(Bd[i][j])
+            cd_ref[i] = asarr(cd[i])
+            xn_ref[i] = asarr(x_new[i])
 
     def fn(x, u):
         B = x.shape[-1]
         assert B % tile == 0
         grid = B // tile
-        return pl.pallas_call(
+        if two_d:
+            nt = B // 128
+            bshape = lambda *lead: (*lead, ts, 128)
+            bmap2 = lambda i: (0, i, 0)
+            bmap3 = lambda i: (0, 0, i, 0)
+            oshape = lambda *lead: (*lead, nt, 128)
+            xin = (x.reshape(n, nt, 128), u.reshape(nv, nt, 128))
+        else:
+            bshape = lambda *lead: (*lead, tile)
+            bmap2 = lambda i: (0, i)
+            bmap3 = lambda i: (0, 0, i)
+            oshape = lambda *lead: (*lead, B)
+            xin = (x, u)
+        Ad, Bd, cd, xn = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec((n, tile), lambda i: (0, i)),
-                pl.BlockSpec((nv, tile), lambda i: (0, i)),
-            ],
-            out_specs=[
-                pl.BlockSpec((n, n, tile), lambda i: (0, 0, i)),
-                pl.BlockSpec((n, nv, tile), lambda i: (0, 0, i)),
-                pl.BlockSpec((n, tile), lambda i: (0, i)),
-                pl.BlockSpec((n, tile), lambda i: (0, i)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((n, n, B), x.dtype),
-                jax.ShapeDtypeStruct((n, nv, B), x.dtype),
-                jax.ShapeDtypeStruct((n, B), x.dtype),
-                jax.ShapeDtypeStruct((n, B), x.dtype),
-            ],
+            in_specs=[pl.BlockSpec(bshape(n), bmap2),
+                      pl.BlockSpec(bshape(nv), bmap2)],
+            out_specs=[pl.BlockSpec(bshape(n, n), bmap3),
+                       pl.BlockSpec(bshape(n, nv), bmap3),
+                       pl.BlockSpec(bshape(n), bmap2),
+                       pl.BlockSpec(bshape(n), bmap2)],
+            out_shape=[jax.ShapeDtypeStruct(oshape(n, n), x.dtype),
+                       jax.ShapeDtypeStruct(oshape(n, nv), x.dtype),
+                       jax.ShapeDtypeStruct(oshape(n), x.dtype),
+                       jax.ShapeDtypeStruct(oshape(n), x.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(x, u)
+        )(*xin)
+        return (Ad.reshape(n, n, B), Bd.reshape(n, nv, B),
+                cd.reshape(n, B), xn.reshape(n, B))
 
     return fn
