@@ -278,3 +278,143 @@ def _register_builtins():
 
 
 _register_builtins()
+
+
+# ---------------------------------------------------------------------------
+# self-describing schemas + editable object-tree view
+# (ref: core/serialization/scheme_builder.hpp serialization schemes;
+#  objtree_archiver.hpp:191 editable object-tree archive — the back-end of
+#  the reference's property-editor GUI, here a headless node table)
+# ---------------------------------------------------------------------------
+
+
+def _kind_of_annotation(ann) -> str:
+    """Field annotation → schema kind string."""
+    name = getattr(ann, "__name__", None) or str(ann)
+    if ann in (float,) or name == "float":
+        return "float"
+    if ann in (int,) or name == "int":
+        return "int"
+    if ann in (bool,) or name == "bool":
+        return "bool"
+    if ann in (str,) or name == "str":
+        return "str"
+    if isinstance(ann, type) and ann in _TYPE_TAGS:
+        return f"object:{_TYPE_TAGS[ann]}"
+    if "ndarray" in name or "Array" in name:
+        return "array"
+    if "Tuple" in name or "tuple" in name or "List" in name or "list" in name:
+        return "sequence"
+    if "Optional" in name or "None" in name:
+        return "optional"
+    return "any"
+
+
+def build_schemes() -> dict:
+    """Self-describing schema document for every registered type: field
+    names + kinds introspected from the dataclass/NamedTuple definition
+    (the scheme_builder.hpp role — lets foreign tools read/edit archives
+    without importing this package)."""
+    schemes = {}
+    for cls, tag in _TYPE_TAGS.items():
+        fields = []
+        if dataclasses.is_dataclass(cls):
+            for f in dataclasses.fields(cls):
+                fields.append({"name": f.name,
+                               "kind": _kind_of_annotation(f.type)})
+        elif hasattr(cls, "_fields"):
+            anns = getattr(cls, "__annotations__", {})
+            for name in cls._fields:
+                fields.append({"name": name,
+                               "kind": _kind_of_annotation(anns.get(name))})
+        schemes[tag] = {"class": cls.__name__,
+                        "module": cls.__module__,
+                        "fields": fields}
+    return {"format": "reak-scheme-1", "schemes": schemes}
+
+
+def save_schemes(path: str):
+    """Write the schema document next to an archive (self-description)."""
+    with open(path, "w") as f:
+        json.dump(build_schemes(), f, indent=1, sort_keys=True)
+
+
+def to_objtree(obj) -> dict:
+    """Object graph → flat editable node table (objtree_archiver.hpp role):
+    ``{"root": id, "nodes": {id: node}}`` where a node is one of
+    ``{"kind": "value", "value": scalar}``, ``{"kind": "array", ...}``,
+    ``{"kind": "object", "type": tag, "fields": {name: child_id}}``,
+    ``{"kind": "map", "fields": ...}``, ``{"kind": "seq", "items": [...]}``.
+    Stable integer ids allow field-level edits (``objtree_set``) before
+    reconstruction with ``from_objtree`` — the reference's editable-archive
+    workflow without the Qt object tree."""
+    nodes = {}
+    counter = [0]
+
+    def add(node):
+        nid = counter[0]
+        counter[0] += 1
+        nodes[nid] = node
+        return nid
+
+    def walk(doc):
+        if doc is None or isinstance(doc, (bool, int, float, str)):
+            return add({"kind": "value", "value": doc})
+        if isinstance(doc, dict):
+            if "__nd__" in doc:
+                return add({"kind": "array", "value": doc["__nd__"],
+                            "dtype": doc["dtype"], "shape": doc["shape"]})
+            if "__type__" in doc:
+                fields = {k: walk(v) for k, v in doc["data"].items()}
+                return add({"kind": "object", "type": doc["__type__"],
+                            "fields": fields})
+            if "__seq__" in doc:
+                items = [walk(v) for v in doc["__seq__"]]
+                return add({"kind": "seq", "items": items,
+                            "tuple": bool(doc.get("tuple"))})
+            return add({"kind": "map",
+                        "fields": {k: walk(v) for k, v in doc.items()}})
+        raise TypeError(f"objtree: bad document node {type(doc)}")
+
+    root = walk(to_document(obj))
+    return {"format": "reak-objtree-1", "root": root, "nodes": nodes}
+
+
+def objtree_set(tree: dict, node_id: int, value):
+    """Edit a leaf node in place (value or array payload)."""
+    node = tree["nodes"][node_id]
+    if node["kind"] == "value":
+        node["value"] = value
+    elif node["kind"] == "array":
+        a = np.asarray(value)
+        node["value"] = a.tolist()
+        node["dtype"] = str(a.dtype)
+        node["shape"] = list(a.shape)
+    else:
+        raise TypeError(f"objtree_set: node {node_id} is a {node['kind']}, "
+                        "not an editable leaf")
+
+
+def from_objtree(tree: dict):
+    """Reconstruct the object graph from a (possibly edited) node table."""
+    nodes = tree["nodes"]
+
+    def build(nid):
+        node = nodes[nid] if nid in nodes else nodes[str(nid)]
+        kind = node["kind"]
+        if kind == "value":
+            return node["value"]
+        if kind == "array":
+            return {"__nd__": node["value"], "dtype": node["dtype"],
+                    "shape": node["shape"]}
+        if kind == "object":
+            return {"__type__": node["type"],
+                    "data": {k: build(v) for k, v in node["fields"].items()}}
+        if kind == "seq":
+            return {"__seq__": [build(v) for v in node["items"]],
+                    "tuple": node.get("tuple", False)}
+        if kind == "map":
+            return {k: build(v) for k, v in node["fields"].items()}
+        raise TypeError(f"objtree: bad node kind {kind!r}")
+
+    return from_document(build(tree["root"]))

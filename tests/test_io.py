@@ -233,3 +233,47 @@ def test_binary_archive_bad_magic(tmp_path):
     p.write_bytes(b"XXXX\x00")
     with pytest.raises(ValueError, match="magic"):
         io.load_scene(str(p))
+
+
+def test_schemes_self_describe_registered_types():
+    """scheme_builder.hpp equivalent: every registered type publishes its
+    field names/kinds so foreign tools can read archives without importing
+    the package (ref: core/serialization/scheme_builder.hpp)."""
+    from reak_tpu.io import serialization as ser
+
+    doc = ser.build_schemes()
+    assert doc["format"] == "reak-scheme-1"
+    cs = doc["schemes"]["reak.ChainSpec"]
+    names = [f["name"] for f in cs["fields"]]
+    assert "joint_types" in names and "gravity" in names
+    kinds = {f["name"]: f["kind"] for f in cs["fields"]}
+    assert all(isinstance(k, str) and k for k in kinds.values())
+    # round-trips through JSON (self-description must be plain data)
+    import json as _json
+    _json.loads(_json.dumps(doc))
+
+
+def test_objtree_roundtrip_and_field_edit(tmp_path):
+    """objtree_archiver.hpp equivalent: flatten to an editable node table,
+    edit one leaf, reconstruct (ref: objtree_archiver.hpp:191)."""
+    from reak_tpu.io import serialization as ser
+    from reak_tpu.kte import models
+
+    spec = models.manip_3r3r()
+    tree = ser.to_objtree(spec)
+    back = ser.from_objtree(tree)
+    assert np.allclose(np.asarray(back.gravity), np.asarray(spec.gravity))
+    assert tuple(back.joint_types) == tuple(spec.joint_types)
+
+    # field-level edit: find the gravity leaf and change it
+    root = tree["nodes"][tree["root"]]
+    assert root["kind"] == "object" and root["type"] == "reak.ChainSpec"
+    gid = root["fields"]["gravity"]
+    gnode = tree["nodes"][gid]
+    if gnode["kind"] == "array":
+        ser.objtree_set(tree, gid, np.array([0.0, 0.0, -1.62]))
+    else:  # sequence of scalar leaves: edit the z component
+        assert gnode["kind"] == "seq"
+        ser.objtree_set(tree, gnode["items"][2], -1.62)
+    edited = ser.from_objtree(tree)
+    assert np.allclose(np.asarray(edited.gravity)[2], -1.62)

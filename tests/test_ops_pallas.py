@@ -142,18 +142,22 @@ def test_bench_hot_path_executes_pallas_kernel():
 
 
 def test_fused_rollout_jaxpr_contains_pallas_core():
-    """The bench path's fused rollout really routes through the Pallas
-    step-core kernel (jaxpr-asserted, VERDICT r2 item 1 'Done' bar)."""
+    """The bench path's rollout really routes through the Pallas step
+    kernels — both the core-only and whole-step variants (jaxpr-asserted,
+    VERDICT r2 item 1 'Done' bar)."""
     import jax
     import jax.numpy as jnp
     from reak_tpu.kte import models, lanes
+    from reak_tpu.ops import kte_core_pallas as kcp
 
     spec = models.manip_3r3r()
-    roll = lanes.make_rollout_ltv_fused(spec, 0.01, 2)
-    x0 = jnp.zeros((512, 12), jnp.float32)
-    us = jnp.zeros((512, 2, 6), jnp.float32)
-    jaxpr = str(jax.make_jaxpr(roll)(x0, us))
-    assert "pallas_call" in jaxpr
+    x0 = jnp.zeros((kcp._TILE, 12), jnp.float32)
+    us = jnp.zeros((kcp._TILE, 2, 6), jnp.float32)
+    for make in (lanes.make_rollout_ltv_fused,
+                 lanes.make_rollout_ltv_fullfused):
+        roll = make(spec, 0.01, 2)
+        jaxpr = str(jax.make_jaxpr(roll)(x0, us))
+        assert "pallas_call" in jaxpr
 
 
 @pytest.mark.slow  # XLA-CPU needs minutes to compile the interpret-mode body
