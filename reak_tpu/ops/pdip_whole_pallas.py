@@ -123,9 +123,12 @@ def _sv(M, v):
     return acc
 
 
-def _chol_solve(G, rhs):
-    """Unrolled SPD solve, lanes layout: G (p, p, T), rhs (p, k, T).
-    Same recurrence as riccati_soa._chol_solve_lanes / chol_lanes kernel."""
+def _chol_factor(G):
+    """Unrolled Cholesky, lanes layout: G (p, p, T) SPD → (L strict-lower
+    entries, inv-diag) — same recurrence as riccati_soa._chol_solve_lanes /
+    the chol_lanes kernel, split so one factorization serves every solve
+    against the same G (the PDIP solves each Schur block 3×: gain columns,
+    affine rhs, corrector rhs)."""
     p = G.shape[0]
     L = [[None] * p for _ in range(p)]
     inv_d = [None] * p
@@ -141,6 +144,12 @@ def _chol_solve(G, rhs):
             for k in range(j):
                 t = t - L[i][k] * L[j][k]
             L[i][j] = t * d
+    return L, inv_d
+
+
+def _chol_apply(L, inv_d, rhs):
+    """Forward/backward substitution with a cached factor: rhs (p, k, T)."""
+    p = len(inv_d)
     ys = [None] * p
     for i in range(p):
         t = rhs[i]
@@ -154,6 +163,26 @@ def _chol_solve(G, rhs):
             t = t - L[k][i][None] * xs[k]
         xs[i] = t * inv_d[i][None]
     return jnp.stack(xs, axis=0)
+
+
+def _pack_factor(L, inv_d):
+    """(L, inv_d) → (p, p, T): strict lower = L, diagonal = 1/diag.
+    (L's own diagonal is never used by substitution.)"""
+    p = len(inv_d)
+    rows = []
+    zero = jnp.zeros_like(inv_d[0])
+    for i in range(p):
+        rows.append(jnp.stack(
+            [L[i][j] if j < i else (inv_d[i] if j == i else zero)
+             for j in range(p)], axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+def _unpack_factor(P):
+    p = P.shape[0]
+    L = [[P[i, j] if j < i else None for j in range(p)] for i in range(p)]
+    inv_d = [P[i, i] for i in range(p)]
+    return L, inv_d
 
 
 def _ld(ref, h):
@@ -239,15 +268,16 @@ def make_whole_pdip(H: int, n: int, m: int, iters: int, tile: int = _TILE,
                 G = (Rc[:, :, None] + eye_m[:, :, None] * Dt[:, None, :]
                      + _mTm(Bt, VB))
                 F = _mTm(VB, At)
-                K = _chol_solve(G, F)
+                Lf, inv_d = _chol_factor(G)
+                K = _chol_apply(Lf, inv_d, F)
                 w = grad_t + _mTv(Bt, v)
-                k = _chol_solve(G, w[:, None, :])[:, 0]
+                k = _chol_apply(Lf, inv_d, w[:, None, :])[:, 0]
                 Vn = Q[:, :, None] + _mTm(At, _mm(V, At)) - _mTm(F, K)
                 Vn = 0.5 * (Vn + jnp.swapaxes(Vn, 0, 1))
                 vn = _mTv(At, v) - _mTv(K, w)
                 lam_n = _mTv(At, lam_full)
                 _st(K_s, h, K)
-                _st(G_s, h, G)
+                _st(G_s, h, _pack_factor(Lf, inv_d))
                 _st(w2_s, h, grad_t)
                 _st(w1_s, h, k)
                 return (lam_n, Vn, vn)
@@ -295,7 +325,8 @@ def make_whole_pdip(H: int, n: int, m: int, iters: int, tile: int = _TILE,
                 At = _ld(A_s, h)
                 Bt = _ld(B_s, h)
                 w = _ld(w2_s, h) + _mTv(Bt, v)
-                k2 = _chol_solve(_ld(G_s, h), w[:, None, :])[:, 0]
+                Lf, inv_d = _unpack_factor(_ld(G_s, h))
+                k2 = _chol_apply(Lf, inv_d, w[:, None, :])[:, 0]
                 _st(w2_s, h, k2)
                 return _mTv(At, v) - _mTv(_ld(K_s, h), w)
 
@@ -374,7 +405,7 @@ def make_whole_pdip(H: int, n: int, m: int, iters: int, tile: int = _TILE,
             ],
             scratch_shapes=[
                 pltpu.VMEM((H, m, n, tile), dtype),   # K gains
-                pltpu.VMEM((H, m, m, tile), dtype),   # G Schur blocks
+                pltpu.VMEM((H, m, m, tile), dtype),   # packed Cholesky factors of G
                 pltpu.VMEM((H, m, tile), dtype),      # u
                 pltpu.VMEM((H, m, tile), dtype),      # sl
                 pltpu.VMEM((H, m, tile), dtype),      # su
