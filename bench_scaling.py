@@ -127,14 +127,17 @@ def analytic_two_host_model():
             try:
                 with open(p) as f:
                     doc = json.load(f)
-                t_compute_ms = doc["phase_ms"]["full"]
+                # accept both the raw bench.py line and the driver's
+                # {"parsed": ...} wrapper
+                node = doc.get("parsed", doc)
+                t_compute_ms = node["phase_ms"]["full"]
                 src = name
                 break
             except Exception:
                 pass
     if t_compute_ms is None:
-        t_compute_ms = 95.7  # last committed flagship full-phase time
-        src = "fallback: r3 measured full phase"
+        t_compute_ms = 43.2  # last measured flagship full-phase time (r4)
+        src = "fallback: r4 measured full phase"
     t_coll_ms_worst = 1.0
     t_coll_ms_typ = 0.3
     eff = lambda tc, tl: tc / (tc + tl)
