@@ -138,13 +138,20 @@ def main(argv=None):
     print(f"predicted {H} steps ahead; final pos err vs truth {pred_err:.2e} m")
 
     # ---- 4: map the predicted pose trajectory into joint space ----------
+    # the reference's transformed_trajectory composition (target pose traj
+    # ∘ chaser IK, CRS_planner_dynexec.cpp:180-195) as ONE batched device
+    # IK over the tabulated belief means — the intercept planner consumes
+    # the resulting interp.Trajectory natively (no per-sample host IK)
     spec = models.manip_3r3r()
+    H = cfg["horizon"]
 
-    def target_joint_traj(t_rel):
-        m = traj.at_time(jnp.asarray(t0 + t_rel)).mean
-        p = m[0:3]
-        quat = rot.qnormalize(m[3:7])
-        return np.asarray(ik.ik_3r3r(spec, p, quat, wrist=-1.0))
+    q_tab = jax.vmap(lambda mm: ik.ik_3r3r(
+        spec, mm[0:3], rot.qnormalize(mm[3:7]), wrist=-1.0))(
+        traj.means[: H + 1])
+    from reak_tpu.interp.trajectory import Trajectory
+    target_joint = Trajectory(
+        times=jnp.arange(H + 1, dtype=jnp.float32) * cfg["dt"],
+        points=q_tab)
 
     # ---- 5: intercept planning over the real collision stack, with the
     # TARGET BODY AS A MOVING OBSTACLE posed along its predicted trajectory
@@ -177,7 +184,7 @@ def main(argv=None):
     ws = TemporalChainWorkspace(space, spec, chain_capsules(spec), env,
                                 moving=[(target_body, target_rigid)],
                                 margin=0.005, n_checks=8)
-    iq = pl.InterceptQuery(start=jnp.zeros(6), target_traj=target_joint_traj,
+    iq = pl.InterceptQuery(start=jnp.zeros(6), target_traj=target_joint,
                            t_budget=H * cfg["dt"], v_max=4.0, goal_tol=0.35)
     res = pl.intercept_plan(ws, iq, max_iters=cfg["max_iters"], batch=32,
                             seed=cfg["seed"])
