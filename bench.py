@@ -60,19 +60,32 @@ def amortized(fn, args, reps):
     return (time.perf_counter() - t0) / reps
 
 
-def _hbm_bytes_per_solve(H, n, m, iters):
-    """Analytic main-memory traffic per scenario per solve (f32), for the
-    round-4 whole-solve structure: the fullfused rollout writes (A, B, c,
-    xs) once; the whole-solve PDIP kernel (ops/pdip_whole_pallas.py) then
-    reads (A, B, c, x0) exactly ONCE — all interior-point state, gains and
-    Schur factors stay VMEM-resident across every iteration — and writes
-    (u, xs).  ``iters`` no longer multiplies any traffic term; it is kept
-    in the signature for the config record."""
+def _hbm_bytes_per_solve(H, n, m, iters, whole_kernel=True):
+    """Analytic main-memory traffic per scenario per solve (f32).
+
+    ``whole_kernel=True`` (the TPU path, batch % 128 == 0): the fullfused
+    rollout writes (A, B, c, xs) once; the whole-solve PDIP kernel
+    (ops/pdip_whole_pallas.py) reads (A, B, c, x0) exactly ONCE — state,
+    gains and Schur factors stay VMEM-resident across every iteration —
+    and writes (u, xs).
+
+    ``whole_kernel=False`` (scan/per-pass fallback: CPU, unaligned batch,
+    or horizons past the VMEM bound): each PDIP iteration re-reads (A, B)
+    in 4 passes, stage data in 2, and streams (K, G, k, grad, du, dx) —
+    the round-3 accounting, a lower bound on that path's traffic."""
     f = 4  # bytes per f32
-    roll_writes = H * (n * n + n * m + 2 * n) * f
-    pdip_reads = H * (n * n + n * m + n) * f + n * f
-    outputs = H * (m + n) * f
-    return roll_writes + pdip_reads + outputs
+    roll = H * (n * n + n * m + 2 * n) * f
+    if whole_kernel:
+        pdip_reads = H * (n * n + n * m + n) * f + n * f
+        outputs = H * (m + n) * f
+        return roll + pdip_reads + outputs
+    per_iter = (
+        4 * H * (n * n + n * m) * f        # A,B read by 4 passes
+        + 2 * H * (2 * n + 2 * m) * f      # qs/u/D/z reads
+        + H * (m * n + m * m + 4 * m) * f  # K,G,k,grad writes
+        + H * (2 * m + n) * f              # du, dx
+    )
+    return roll + iters * per_iter
 
 
 def main():
@@ -156,8 +169,13 @@ def main():
     except Exception:
         pass
 
+    from reak_tpu.ops import pdip_whole_pallas as _pwp
+
+    whole_kernel_used = (on_tpu and batch % _pwp._TILE == 0
+                         and _pwp.fits_vmem(horizon, n, m))
     achieved_flops = flops_per_solve * solves_per_s
-    bytes_per_solve = _hbm_bytes_per_solve(horizon, n, m, qp_iters)
+    bytes_per_solve = _hbm_bytes_per_solve(horizon, n, m, qp_iters,
+                                           whole_kernel=whole_kernel_used)
     hbm_gbps = bytes_per_solve * solves_per_s / 1e9
     roofline_solves = V5E_HBM_BPS / bytes_per_solve
 

@@ -143,7 +143,6 @@ def main(argv=None):
     # IK over the tabulated belief means — the intercept planner consumes
     # the resulting interp.Trajectory natively (no per-sample host IK)
     spec = models.manip_3r3r()
-    H = cfg["horizon"]
 
     q_tab = jax.vmap(lambda mm: ik.ik_3r3r(
         spec, mm[0:3], rot.qnormalize(mm[3:7]), wrist=-1.0))(

@@ -301,12 +301,14 @@ def _kind_of_annotation(ann) -> str:
         return "str"
     if isinstance(ann, type) and ann in _TYPE_TAGS:
         return f"object:{_TYPE_TAGS[ann]}"
+    # Optional[...] must be detected BEFORE the inner type: a foreign tool
+    # must know the field may be null in the archive
+    if "Optional" in name or "None" in name:
+        return "optional"
     if "ndarray" in name or "Array" in name:
         return "array"
     if "Tuple" in name or "tuple" in name or "List" in name or "list" in name:
         return "sequence"
-    if "Optional" in name or "None" in name:
-        return "optional"
     return "any"
 
 
@@ -380,9 +382,11 @@ def to_objtree(obj) -> dict:
     return {"format": "reak-objtree-1", "root": root, "nodes": nodes}
 
 
-def objtree_set(tree: dict, node_id: int, value):
-    """Edit a leaf node in place (value or array payload)."""
-    node = tree["nodes"][node_id]
+def objtree_set(tree: dict, node_id, value):
+    """Edit a leaf node in place (value or array payload).  Accepts int or
+    str node ids (JSON round-trips stringify the keys)."""
+    nodes = tree["nodes"]
+    node = nodes[node_id] if node_id in nodes else nodes[str(node_id)]
     if node["kind"] == "value":
         node["value"] = value
     elif node["kind"] == "array":

@@ -40,7 +40,6 @@ passes none); callers with references use the per-pass kernels.
 """
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
@@ -58,12 +57,6 @@ _TILE = 128  # lane tile; whole-horizon residency needs T small enough that
 # ---- lanes-layout small-matrix algebra (batch on the last axis) -----------
 
 
-# The contractions are unrolled over the tiny reduced dim as running FMA
-# accumulations: a broadcast-multiply + jnp.sum would materialize a 4-D
-# (i, k, j, T) intermediate (up to n³·T·4 ≈ 2.4 MB at n=12, T=128) in VMEM
-# per product — the unrolled form keeps every intermediate at (i, j, T).
-
-
 def _ksl(X, k, axis):
     """Static keep-dim slice [k:k+1] along axis — lowers to lax.slice.
     (Integer indexing mixed with None-insertion lowers to gather, which the
@@ -74,9 +67,10 @@ def _ksl(X, k, axis):
 def _mm(X, Y):
     """(i, k, T) @ (k, j, T) → (i, j, T), unrolled FMA accumulation.
 
-    A broadcast-multiply + jnp.sum would materialize a 4-D (i, k, j, T)
-    intermediate (n³·T·4 ≈ 0.9 MB at n=12, T=128) in VMEM per product; the
-    unrolled form keeps every intermediate at (i, j, T)."""
+    All contractions here unroll the tiny reduced dim as running FMAs: a
+    broadcast-multiply + jnp.sum would materialize a 4-D (i, k, j, T)
+    intermediate (n·n·n·T·4 ≈ 0.9 MB at n=12, T=128) in VMEM per product;
+    the unrolled form keeps every intermediate at (i, j, T)."""
     acc = None
     for k in range(X.shape[1]):
         t = _ksl(X, k, 1) * _ksl(Y, k, 0)      # (i,1,T)·(1,j,T) → (i,j,T)
@@ -190,15 +184,30 @@ def _ld(ref, h):
     return jnp.squeeze(ref[pl.ds(h, 1)], axis=0)
 
 
-def _ld2(ref, h, r, c):
-    """Dynamic read of time-slice h from a flattened (H, r·c, T) VMEM ref,
-    reshaped back to (r, c, T)."""
-    return ref[pl.ds(h, 1)][0].reshape(r, c, ref.shape[-1])
-
-
 def _st(ref, h, val):
     """Dynamic write of time-slice h to a (H, ...) VMEM ref."""
     ref[pl.ds(h, 1)] = val[None]
+
+
+def vmem_bytes_estimate(H: int, n: int, m: int, tile: int = _TILE) -> int:
+    """Approximate VMEM working set of the whole-solve kernel: the
+    double-buffered pipelined inputs/outputs plus the scratch buffers
+    (kernel-stack temporaries excluded — callers should leave headroom)."""
+    f = 4
+    per_lane = (
+        2 * (H * n * n + H * n * m + H * n + n)      # A, B, c, x0 (×2 bufs)
+        + 2 * (H * m + H * n)                        # u, xs outputs (×2)
+        + H * m * n + H * m * m                      # K, packed factors
+        + 5 * H * m + 2 * H * n + 2 * H * m          # state + work buffers
+    )
+    return per_lane * tile * f
+
+
+def fits_vmem(H: int, n: int, m: int, tile: int = _TILE) -> bool:
+    """True when the whole-solve kernel's working set (plus ~25% stack
+    headroom) fits the configured VMEM limit; callers fall back to the
+    per-pass kernels otherwise."""
+    return vmem_bytes_estimate(H, n, m, tile) * 1.25 <= _VMEM_LIMIT
 
 
 def make_whole_pdip(H: int, n: int, m: int, iters: int, tile: int = _TILE,

@@ -47,16 +47,24 @@ def _tabulate_target(traj, t_budget, n_samples, with_vel=False):
 
     if isinstance(traj, Trajectory):
         ts = np.asarray(traj.times, np.float64)
-        keep = ts <= float(t_budget) + 1e-9
+        # keep samples within the budget, but never fewer than two — a
+        # trajectory starting at/after the budget would otherwise produce
+        # empty tables (randint(0, 0) in the goal bias) or a 1-row
+        # np.gradient crash
+        n_keep = max(int(np.sum(ts <= float(t_budget) + 1e-9)),
+                     min(2, ts.shape[0]))
+        keep = slice(0, n_keep)
         ts_k = jnp.asarray(ts[keep])
         qs_k = jnp.asarray(np.asarray(traj.points)[keep])
         if not with_vel:
             return ts_k, qs_k
         if traj.vels is not None:
             qds_k = jnp.asarray(np.asarray(traj.vels)[keep])
-        else:
+        elif n_keep >= 2:
             qds_k = jnp.asarray(np.gradient(np.asarray(traj.points)[keep],
                                             ts[keep], axis=0))
+        else:
+            qds_k = jnp.zeros_like(qs_k)
         return ts_k, qs_k, qds_k
     ts = np.linspace(0.0, float(t_budget), n_samples)
     if not with_vel:
