@@ -105,3 +105,96 @@ def tensor3_rotate(T, R):
 def tensor4_rotate(T, R):
     """Rotate all four indices: T'_{abcd} = R_{ai}R_{bj}R_{ck}R_{dl} T_{ijkl}."""
     return multi_mode_dot(T, [R, R, R, R])
+
+
+# ---------------------------------------------------------------------------
+# decompositions: HOSVD / Tucker truncation and CP-ALS
+# (the working machinery the reference's tensor layer declares concepts for
+# but never finishes — TODO_list.txt MATH flags the tensor expression engine
+# unfinished; these are the standard multilinear factorizations, batched and
+# jit-compatible: fixed iteration counts, no data-dependent shapes)
+# ---------------------------------------------------------------------------
+
+
+def hosvd(T, ranks=None):
+    """Higher-order SVD (Tucker via mode-wise SVDs).
+
+    ``ranks``: optional per-mode truncation (defaults to full).  Returns
+    ``(core, factors)`` with ``T ≈ multi_mode_dot(core, factors)``; factors
+    have orthonormal columns (left singular vectors of each unfolding).
+    The full-rank reconstruction is exact to machine precision."""
+    d = T.ndim
+    if ranks is None:
+        ranks = T.shape
+    factors = []
+    for mode in range(d):
+        U, _, _ = jnp.linalg.svd(unfold(T, mode), full_matrices=False)
+        factors.append(U[:, : ranks[mode]])
+    core = multi_mode_dot(T, [U.T for U in factors])
+    return core, factors
+
+
+def tucker_reconstruct(core, factors):
+    """Inverse of :func:`hosvd`: core ×_0 U_0 ×_1 U_1 ⋯."""
+    return multi_mode_dot(core, factors)
+
+
+def cp_als(T, rank: int, n_iters: int = 50, key=None):
+    """CP decomposition by alternating least squares.
+
+    Returns ``(weights (rank,), factors [(I_i, rank)])`` with
+    ``T ≈ Σ_r weights[r] · ⊗_i factors[i][:, r]``.  Fixed ``n_iters``
+    sweeps (XLA-friendly: no convergence branch); factors are initialized
+    from the HOSVD leading vectors (key=None) or randomly (with a PRNG
+    key).  Normalization is folded into ``weights`` each sweep for
+    numerical stability — the standard Kolda-Bader ALS recursion."""
+    import jax
+
+    d = T.ndim
+    if key is None:
+        _, factors = hosvd(T, ranks=[min(rank, s) for s in T.shape])
+        # pad (columns) if rank exceeds a mode dimension
+        factors = [
+            jnp.pad(U, ((0, 0), (0, rank - U.shape[1])))
+            if U.shape[1] < rank else U[:, :rank]
+            for U in factors
+        ]
+    else:
+        keys = jax.random.split(key, d)
+        factors = [jax.random.normal(k, (s, rank), T.dtype)
+                   for k, s in zip(keys, T.shape)]
+    weights = jnp.ones((rank,), T.dtype)
+
+    def khatri_rao(mats):
+        out = mats[0]
+        for M in mats[1:]:
+            out = (out[:, None, :] * M[None, :, :]).reshape(-1, M.shape[1])
+        return out
+
+    for _ in range(n_iters):
+        for mode in range(d):
+            others = [factors[i] for i in range(d) if i != mode]
+            # gram of the Khatri-Rao product = Hadamard of the grams
+            G = jnp.ones((rank, rank), T.dtype)
+            for M in others:
+                G = G * (M.T @ M)
+            # unfold() flattens the remaining modes row-major (first
+            # remaining mode slowest), so the Khatri-Rao runs in ascending
+            # mode order (Kolda-Bader's reversed order assumes the
+            # column-major unfolding convention)
+            KR = khatri_rao(others)
+            rhs = unfold(T, mode) @ KR                     # (I_mode, rank)
+            F = jnp.linalg.solve(G + 1e-10 * jnp.eye(rank, dtype=T.dtype),
+                                 rhs.T).T
+            norms = jnp.maximum(jnp.linalg.norm(F, axis=0), 1e-30)
+            factors[mode] = F / norms
+            weights = norms
+    return weights, factors
+
+
+def cp_reconstruct(weights, factors):
+    """Σ_r weights[r] · ⊗_i factors[i][:, r]."""
+    d = len(factors)
+    letters = "abcdefgh"[:d]
+    spec = ",".join(f"{c}r" for c in letters) + ",r->" + letters
+    return jnp.einsum(spec, *factors, weights)
