@@ -216,7 +216,8 @@ def solve_box_mpc_riccati_soa_fused(A_seq, B_seq, c_seq, Q, QN, R, x0, lb,
         and (jax.default_backend() not in ("cpu",) or pwp.FORCE_INTERPRET)
         # whole-horizon VMEM residency bounds H; longer horizons keep the
         # streaming per-pass kernels
-        and pwp.fits_vmem(A_seq.shape[0], A_seq.shape[1], B_seq.shape[2])
+        and pwp.fits_vmem(A_seq.shape[0], A_seq.shape[1],
+                          B_seq.shape[2], tile=pwp._TILE)
     )
     if whole_ok:
         whole = pwp.make_whole_pdip(A_seq.shape[0], A_seq.shape[1],
