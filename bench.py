@@ -30,11 +30,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import os
+import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+import reak_tpu
+
+# full-f32 contractions for the parity bars (explicit opt-in; ADVICE r4)
+reak_tpu.enable_full_precision()
 
 # persistent compile cache: cold fused-kernel compiles take ~1 min on the
 # tunneled TPU; warm runs hit the cache
@@ -128,7 +135,7 @@ def main():
     solves_per_s = batch / t_full
 
     # ---- phase split -----------------------------------------------------
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() == "tpu"
     roll = (lanes.make_rollout_ltv_fullfused(spec, dt, horizon)
             if on_tpu and batch % kte_core_pallas._TILE == 0
             else lanes.make_rollout_ltv_lanes(spec, dt, horizon))
@@ -167,7 +174,9 @@ def main():
         flops_per_solve = (horizon * fl_roll_step
                            + qp_iters * fl_iter + fl_base) / batch
     except Exception:
-        pass
+        # keep the headline metric alive, but make the dropped sub-metric
+        # visible instead of silently null (ADVICE r4)
+        traceback.print_exc(file=sys.stderr)
 
     from reak_tpu.ops import pdip_whole_pallas as _pwp
 
@@ -209,7 +218,7 @@ def main():
                         "qdd": errs[0], "dqdd": errs[1], "minv": errs[2]}},
             }, f, indent=1)
     except Exception:
-        pass
+        traceback.print_exc(file=sys.stderr)
 
     # ---- BASELINE config 4: free-base belief-sampled scenario MPC --------
     # (satellite quaternion-state error-state MPC, ctrl/mpc_manifold.py;
@@ -248,8 +257,9 @@ def main():
                        "scenarios": fb_B, "qp_iters": qp_iters,
                        "sqp_iters": 2, "state": "quaternion (error-state)"},
         }
-    except Exception:
-        pass
+    except Exception as e:
+        traceback.print_exc(file=sys.stderr)
+        free_base = {"error": str(e)}
 
     target = 5000.0
     print(

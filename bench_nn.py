@@ -27,6 +27,11 @@ import numpy as np
 from reak_tpu.planning.dvp_tree import DVPTree
 from reak_tpu.planning.rrt import _masked_nn
 
+import reak_tpu
+
+# full-f32 contractions for parity-grade numerics (explicit opt-in; ADVICE r4)
+reak_tpu.enable_full_precision()
+
 
 def bench_brute(pts, queries, reps=20):
     """Amortized-sync timing: the planner enqueues many NN waves per pulled

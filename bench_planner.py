@@ -27,6 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import reak_tpu
+
+# full-f32 contractions for parity-grade numerics (explicit opt-in; ADVICE r4)
+reak_tpu.enable_full_precision()
+
 jax.config.update("jax_compilation_cache_dir", os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -37,6 +37,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
+import reak_tpu
+
+# full-f32 contractions for parity-grade numerics (explicit opt-in; ADVICE r4)
+reak_tpu.enable_full_precision()
+
 
 def build_step(horizon, m):
     from reak_tpu.kte import models

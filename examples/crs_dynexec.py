@@ -47,6 +47,11 @@ import reak_tpu.spaces.vector as sp
 
 from run_crs_planner import chain_capsules
 
+import reak_tpu
+
+# full-f32 contractions for parity-grade numerics (explicit opt-in; ADVICE r4)
+reak_tpu.enable_full_precision()
+
 DEFAULTS = dict(
     steps=40,            # measurement rows streamed online
     horizon=30,          # prediction steps

@@ -32,6 +32,11 @@ from reak_tpu.ctrl.kalman import ekf_step
 from reak_tpu.ctrl.ukf import ukf_step
 from reak_tpu.math import rotations as rot
 
+import reak_tpu
+
+# full-f32 contractions for parity-grade numerics (explicit opt-in; ADVICE r4)
+reak_tpu.enable_full_precision()
+
 
 DEFAULTS = dict(
     steps=150, dt=0.05, mass=1.0, inertia=(0.9, 1.1, 1.0),

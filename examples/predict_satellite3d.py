@@ -29,6 +29,11 @@ from reak_tpu.ctrl.invariant import iekf_step
 from estimate_satellite3d import (DEFAULTS as EST_DEFAULTS, make_system,
                                   truth_rollout, noisy_measurements)
 
+import reak_tpu
+
+# full-f32 contractions for parity-grade numerics (explicit opt-in; ADVICE r4)
+reak_tpu.enable_full_precision()
+
 DEFAULTS = dict(EST_DEFAULTS, horizon=50, n_scenarios=0, output="")
 
 

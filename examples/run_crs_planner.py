@@ -32,6 +32,11 @@ import reak_tpu.planning as pl
 import reak_tpu.spaces.vector as sp
 from reak_tpu.planning.queries import PlanningQuery
 
+import reak_tpu
+
+# full-f32 contractions for parity-grade numerics (explicit opt-in; ADVICE r4)
+reak_tpu.enable_full_precision()
+
 DEFAULTS = dict(
     planner="rrt",        # rrt | birrt | rrt_star | prm | sbastar | fadprm | rrg
     mc_runs=0, seed=0, max_iters=150, step_size=0.5,

@@ -29,6 +29,11 @@ from reak_tpu.ctrl.belief import GaussianBelief
 from reak_tpu.ctrl.invariant import iekf_step
 from reak_tpu.math import rotations as rot
 
+import reak_tpu
+
+# full-f32 contractions for parity-grade numerics (explicit opt-in; ADVICE r4)
+reak_tpu.enable_full_precision()
+
 
 DEFAULTS = dict(
     dt=0.1, horizon=20, scenarios=16, est_steps=15,

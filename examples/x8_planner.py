@@ -40,6 +40,11 @@ from reak_tpu.ctrl.aqr_space import (MEAQRSpace, meaqr_rrt_star_plan,
 from reak_tpu.math import rotations as rot
 from reak_tpu.planning.queries import PlanningQuery
 
+import reak_tpu
+
+# full-f32 contractions for parity-grade numerics (explicit opt-in; ADVICE r4)
+reak_tpu.enable_full_precision()
+
 DEFAULTS = dict(planner="rrt_star", max_iters=30, seed=0, step_size=2.0,
                 n_grid=48, capacity=4096, output="")
 

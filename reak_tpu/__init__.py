@@ -30,15 +30,26 @@ import os as _os
 
 import jax as _jax
 
-# The reference framework is double-precision scalar C++ throughout; its
-# capabilities (filter consistency, QP duality gaps, proximity signs) assume
-# true-precision contractions.  JAX's default TPU matmul precision rounds
-# f32 operands to bf16 on the MXU (~3 decimal digits), which silently injects
-# ~1e-3 relative error into every jnp.einsum/@ in the dynamics and solver
-# paths.  The framework's hot kernels are lanes-layout VPU code (unaffected),
-# so defaulting the remaining contractions to full f32 costs ~nothing and is
-# required for the documented parity bars (BASELINE.md: ≤1e-4 vs oracle).
-# Opt out (e.g. for bf16 throughput experiments) with REAK_TPU_FAST_MATMUL=1.
-if _os.environ.get("REAK_TPU_FAST_MATMUL", "") != "1" and \
-        _jax.config.jax_default_matmul_precision is None:
-    _jax.config.update("jax_default_matmul_precision", "highest")
+
+def enable_full_precision() -> None:
+    """Set the process-wide default matmul precision to full f32.
+
+    The reference framework is double-precision scalar C++ throughout; its
+    capabilities (filter consistency, QP duality gaps, proximity signs) assume
+    true-precision contractions.  JAX's default TPU matmul precision rounds
+    f32 operands to bf16 on the MXU (~3 decimal digits), which silently
+    injects ~1e-3 relative error into every jnp.einsum/@ in the dynamics and
+    solver paths.  The framework's hot kernels are lanes-layout VPU code
+    (unaffected), so full f32 for the remaining contractions costs ~nothing
+    and is required for the documented parity bars (BASELINE.md: ≤1e-4 vs
+    oracle).
+
+    Explicit opt-in (never run at import time — a library import must not
+    change numerics of unrelated co-resident JAX code): call this from your
+    driver, as bench.py and the examples/ CLIs do.  No-ops if the user has
+    already chosen a precision, and under REAK_TPU_FAST_MATMUL=1 (bf16
+    throughput experiments).
+    """
+    if _os.environ.get("REAK_TPU_FAST_MATMUL", "") != "1" and \
+            _jax.config.jax_default_matmul_precision is None:
+        _jax.config.update("jax_default_matmul_precision", "highest")

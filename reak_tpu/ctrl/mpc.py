@@ -281,7 +281,7 @@ def make_kte_mpc(spec, problem: MPCProblem, dt: float, qp_iters: int = 8,
             if rollout == "lanes":
                 return roll_lanes
             tiled = B % kcp._TILE == 0
-            on_tpu = jax.default_backend() not in ("cpu",)
+            on_tpu = jax.default_backend() == "tpu"
             if rollout == "fused":
                 return roll_fused if tiled else roll_lanes
             return roll_fused if (tiled and (on_tpu or kcp.FORCE_INTERPRET)) \

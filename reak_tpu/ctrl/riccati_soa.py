@@ -57,7 +57,7 @@ def _chol_solve_lanes(G, rhs):
     ragged batches)."""
     n = G.shape[0]
     B = G.shape[-1]
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() == "tpu"
     if (chol_lanes.FORCE_INTERPRET or on_tpu) and B % chol_lanes._TILE == 0 \
             and n <= 16:
         return chol_lanes.solve_lanes_multi(
@@ -213,7 +213,7 @@ def solve_box_mpc_riccati_soa_fused(A_seq, B_seq, c_seq, Q, QN, R, x0, lb,
         and x_ref is None and u_ref is None
         and A_seq.ndim == 4
         and A_seq.shape[-1] % pwp._TILE == 0
-        and (jax.default_backend() not in ("cpu",) or pwp.FORCE_INTERPRET)
+        and (jax.default_backend() == "tpu" or pwp.FORCE_INTERPRET)
         # whole-horizon VMEM residency bounds H; longer horizons keep the
         # streaming per-pass kernels
         and pwp.fits_vmem(A_seq.shape[0], A_seq.shape[1],
@@ -233,7 +233,7 @@ def solve_box_mpc_riccati_soa_fused(A_seq, B_seq, c_seq, Q, QN, R, x0, lb,
         use_kernels != "never"
         and A_seq.ndim == 4
         and B_lanes % rbp._TILE == 0
-        and (jax.default_backend() not in ("cpu",) or rbp.FORCE_INTERPRET)
+        and (jax.default_backend() == "tpu" or rbp.FORCE_INTERPRET)
     )
     _t = rbp._TILE
     bwd_kernel = (rbp.make_fused_backward(H, n, m, tile=_t) if kernel_ok

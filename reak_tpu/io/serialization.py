@@ -289,7 +289,13 @@ _register_builtins()
 
 
 def _kind_of_annotation(ann) -> str:
-    """Field annotation → schema kind string."""
+    """Field annotation → schema kind string.
+
+    Handles both live type objects and STRING annotations: dataclasses in
+    modules using ``from __future__ import annotations`` (e.g. kte/spec.py)
+    carry their field types as strings, so registered nested types must also
+    be matched by class name or the schema degrades to 'any' (ADVICE r4).
+    """
     name = getattr(ann, "__name__", None) or str(ann)
     if ann in (float,) or name == "float":
         return "float"
@@ -301,6 +307,13 @@ def _kind_of_annotation(ann) -> str:
         return "str"
     if isinstance(ann, type) and ann in _TYPE_TAGS:
         return f"object:{_TYPE_TAGS[ann]}"
+    if isinstance(ann, str):
+        # string annotation naming a registered class ("ChainSpec",
+        # "Optional[ChainSpec]", "geom.shapes.ShapeSet", ...)
+        by_name = {cls.__name__: tag for cls, tag in _TYPE_TAGS.items()}
+        base = name.split("[")[-1].rstrip("]").split(".")[-1]
+        if base in by_name and "Optional" not in name and "None" not in name:
+            return f"object:{by_name[base]}"
     # Optional[...] must be detected BEFORE the inner type: a foreign tool
     # must know the field may be null in the archive
     if "Optional" in name or "None" in name:

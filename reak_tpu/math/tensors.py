@@ -153,12 +153,20 @@ def cp_als(T, rank: int, n_iters: int = 50, key=None):
     d = T.ndim
     if key is None:
         _, factors = hosvd(T, ranks=[min(rank, s) for s in T.shape])
-        # pad (columns) if rank exceeds a mode dimension
-        factors = [
-            jnp.pad(U, ((0, 0), (0, rank - U.shape[1])))
-            if U.shape[1] < rank else U[:, :rank]
-            for U in factors
-        ]
+        # pad (columns) if rank exceeds a mode dimension — with small
+        # DETERMINISTIC pseudo-random columns, not zeros: if two or more
+        # modes pad with zeros, the padded component's Khatri-Rao column is
+        # identically zero and the component can never leave zero under the
+        # ALS update (a permanently dead component; ADVICE r4)
+        padded = []
+        for mode, U in enumerate(factors):
+            if U.shape[1] < rank:
+                k = jax.random.fold_in(jax.random.PRNGKey(0), mode)
+                extra = 0.1 * jax.random.normal(
+                    k, (U.shape[0], rank - U.shape[1]), T.dtype)
+                U = jnp.concatenate([U, extra], axis=1)
+            padded.append(U[:, :rank])
+        factors = padded
     else:
         keys = jax.random.split(key, d)
         factors = [jax.random.normal(k, (s, rank), T.dtype)

@@ -183,7 +183,7 @@ def _chol_solve_auto_vmap(axis_size, in_batched, G, rhs):
     if not rb:
         rhs = jnp.broadcast_to(rhs[None], (axis_size,) + rhs.shape)
     n = G.shape[-1]
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() == "tpu"
     if (FORCE_INTERPRET or on_tpu) and axis_size % _TILE == 0 and n <= 16 \
             and G.ndim == 3:
         Gl = jnp.moveaxis(G, 0, -1)  # (n, n, B)
@@ -202,7 +202,7 @@ def solve(G, rhs):
     from reak_tpu.math.linalg import small_chol_solve
 
     B, n, _ = G.shape
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() == "tpu"
     if not on_tpu or B % _TILE != 0 or n > 16:
         return small_chol_solve(G, rhs)
     Gl = jnp.moveaxis(G, 0, -1)      # (n, n, B)

@@ -197,3 +197,28 @@ def test_cp_als_random_init_and_overrank(rng):
     rel3 = float(jnp.linalg.norm(tn.cp_reconstruct(w3, Fs3) - T)
                  / jnp.linalg.norm(T))
     assert rel3 < 1e-3
+
+
+def test_cp_als_overrank_multiple_modes_pad_path(rng):
+    """rank strictly greater than TWO mode dims exercises the HOSVD pad
+    columns: with zero padding the padded component is permanently dead
+    (its Khatri-Rao column is zeroed by the other padded factor); random
+    padding must let ALS use it (ADVICE r4)."""
+    from reak_tpu.math import tensors as tn
+
+    # true rank 4 tensor with two modes of dim 3 < rank
+    R = 4
+    T = jnp.einsum("ar,br,cr->abc",
+                   jnp.asarray(rng.standard_normal((3, R))),
+                   jnp.asarray(rng.standard_normal((3, R))),
+                   jnp.asarray(rng.standard_normal((6, R))))
+    w, Fs = tn.cp_als(T, rank=R, n_iters=1500)
+    rel = float(jnp.linalg.norm(tn.cp_reconstruct(w, Fs) - T)
+                / jnp.linalg.norm(T))
+    # zero-padding leaves a dead component and stalls near the rank-3
+    # approximation error (~0.2–0.5 rel on generic data); random padding
+    # lets the 4th component activate and the fit converge (ALS is linearly
+    # convergent in this degenerate regime, so the bar is loose)
+    assert rel < 1e-3
+    # no dead component: every recovered weight is materially nonzero
+    assert float(jnp.min(jnp.abs(w))) > 1e-6 * float(jnp.max(jnp.abs(w)))
