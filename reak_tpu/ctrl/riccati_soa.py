@@ -208,21 +208,26 @@ def solve_box_mpc_riccati_soa_fused(A_seq, B_seq, c_seq, Q, QN, R, x0, lb,
     from reak_tpu.ops import riccati_bwd_pallas as rbp
     from reak_tpu.ops import pdip_whole_pallas as pwp
 
+    with_xref = x_ref is not None
+    with_uref = u_ref is not None
     whole_ok = (
         use_kernels in ("auto", "whole")
-        and x_ref is None and u_ref is None
         and A_seq.ndim == 4
         and A_seq.shape[-1] % pwp._TILE == 0
         and (jax.default_backend() == "tpu" or pwp.FORCE_INTERPRET)
         # whole-horizon VMEM residency bounds H; longer horizons keep the
         # streaming per-pass kernels
         and pwp.fits_vmem(A_seq.shape[0], A_seq.shape[1],
-                          B_seq.shape[2], tile=pwp._TILE)
+                          B_seq.shape[2], tile=pwp._TILE,
+                          with_xref=with_xref, with_uref=with_uref)
     )
     if whole_ok:
         whole = pwp.make_whole_pdip(A_seq.shape[0], A_seq.shape[1],
-                                    B_seq.shape[2], iters, tile=pwp._TILE)
-        return whole(A_seq, B_seq, c_seq, x0, Q, QN, R, lb, ub)
+                                    B_seq.shape[2], iters, tile=pwp._TILE,
+                                    with_xref=with_xref,
+                                    with_uref=with_uref)
+        refs = ([x_ref] if with_xref else []) + ([u_ref] if with_uref else [])
+        return whole(A_seq, B_seq, c_seq, *refs, x0, Q, QN, R, lb, ub)
 
     H = A_seq.shape[0]
     m = B_seq.shape[2]

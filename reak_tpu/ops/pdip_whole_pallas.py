@@ -35,8 +35,15 @@ core/optimization/mehrotra_method.hpp:269, as in ctrl/riccati_soa.py.
 
 Layout contract (lanes): A (H,n,n,B), B (H,n,m,B), c (H,n,B), x0 (n,B),
 Q/QN (n,n), R (m,m), lb/ub (m,) → u (H,m,B), xs (H,n,B).  B must be a
-multiple of the tile (128 lanes).  No x_ref/u_ref (the flagship MPC path
-passes none); callers with references use the per-pass kernels.
+multiple of the tile (128 lanes).
+
+Reference tracking (``with_xref``/``with_uref``): tracking MPC — the common
+real-world mode, and what the error-state manifold SQP (ctrl/mpc_manifold)
+needs each pass — adds x_ref (H,n,B)/u_ref (H,m,B) inputs staged once per
+tile like c; the stage cost becomes (x−x_ref)ᵀQ(x−x_ref) + (u−u_ref)ᵀR(u−u_ref)
+(finite-horizon tracking recursion of ref mat_are_solver.hpp:1449 +
+lqr_controllers.hpp:58).  Only the stage-gradient lines change; the whole
+Mehrotra state stays VMEM-resident exactly as in the regulator path.
 """
 from __future__ import annotations
 
@@ -189,7 +196,9 @@ def _st(ref, h, val):
     ref[pl.ds(h, 1)] = val[None]
 
 
-def vmem_bytes_estimate(H: int, n: int, m: int, tile: int = _TILE) -> int:
+def vmem_bytes_estimate(H: int, n: int, m: int, tile: int = _TILE,
+                        with_xref: bool = False,
+                        with_uref: bool = False) -> int:
     """Approximate VMEM working set of the whole-solve kernel: the
     double-buffered pipelined inputs/outputs plus the scratch buffers
     (kernel-stack temporaries excluded — callers should leave headroom)."""
@@ -199,28 +208,39 @@ def vmem_bytes_estimate(H: int, n: int, m: int, tile: int = _TILE) -> int:
         + 2 * (H * m + H * n)                        # u, xs outputs (×2)
         + H * m * n + H * m * m                      # K, packed factors
         + 5 * H * m + 2 * H * n + 2 * H * m          # state + work buffers
+        + (2 * H * n if with_xref else 0)            # x_ref (×2 bufs)
+        + (2 * H * m if with_uref else 0)            # u_ref (×2 bufs)
     )
     return per_lane * tile * f
 
 
-def fits_vmem(H: int, n: int, m: int, tile: int = _TILE) -> bool:
+def fits_vmem(H: int, n: int, m: int, tile: int = _TILE,
+              with_xref: bool = False, with_uref: bool = False) -> bool:
     """True when the whole-solve kernel's working set (plus ~25% stack
     headroom) fits the configured VMEM limit; callers fall back to the
     per-pass kernels otherwise."""
-    return vmem_bytes_estimate(H, n, m, tile) * 1.25 <= _VMEM_LIMIT
+    est = vmem_bytes_estimate(H, n, m, tile, with_xref, with_uref)
+    return est * 1.25 <= _VMEM_LIMIT
 
 
 def make_whole_pdip(H: int, n: int, m: int, iters: int, tile: int = _TILE,
-                    interpret: bool = None):
-    """Returns ``fn(A (H,n,n,B), Bm (H,n,m,B), c (H,n,B), x0 (n,B),
-    Q (n,n), QN (n,n), R (m,m), lb (m,), ub (m,)) → (u (H,m,B),
-    xs (H,n,B))`` — the complete box-constrained LTV-MPC solve."""
+                    interpret: bool = None, with_xref: bool = False,
+                    with_uref: bool = False):
+    """Returns ``fn(A (H,n,n,B), Bm (H,n,m,B), c (H,n,B), [x_ref (H,n,B),]
+    [u_ref (H,m,B),] x0 (n,B), Q (n,n), QN (n,n), R (m,m), lb (m,),
+    ub (m,)) → (u (H,m,B), xs (H,n,B))`` — the complete box-constrained
+    LTV-MPC solve, optionally tracking state/input references."""
     if interpret is None:
         interpret = FORCE_INTERPRET
 
-    def kernel(A_s, B_s, c_ref, x0_ref, Q_ref, QN_ref, R_ref, lb_ref,
-               ub_ref, u_out, xs_out, K_s, G_s, u_s, sl_s, su_s,
-               zl_s, zu_s, xs_s, w1_s, w2_s, dxs_s):
+    def kernel(*refs):
+        it = iter(refs)
+        A_s, B_s, c_ref = next(it), next(it), next(it)
+        xr_ref = next(it) if with_xref else None
+        ur_ref = next(it) if with_uref else None
+        (x0_ref, Q_ref, QN_ref, R_ref, lb_ref, ub_ref, u_out, xs_out,
+         K_s, G_s, u_s, sl_s, su_s, zl_s, zu_s, xs_s, w1_s, w2_s,
+         dxs_s) = it
         # A_s/B_s are the full-horizon LTV blocks for this batch tile,
         # staged into VMEM by the Pallas pipeline (one fetch per tile; the
         # next tile's fetch overlaps this tile's compute).
@@ -267,8 +287,13 @@ def make_whole_pdip(H: int, n: int, m: int, iters: int, tile: int = _TILE,
                 Bt = _ld(B_s, h)
                 lastf = jnp.where(hh == 0, 1.0, 0.0).astype(dtype)
                 Qm = Q + (QN - Q) * lastf
-                qt = _sv(Qm, _ld(xs_s, h))
+                xs_h = _ld(xs_s, h)
+                if xr_ref is not None:
+                    xs_h = xs_h - _ld(xr_ref, h)
+                qt = _sv(Qm, xs_h)
                 ut = _ld(u_s, h)
+                if ur_ref is not None:
+                    ut = ut - _ld(ur_ref, h)
                 Dt = (_ld(zl_s, h) / _ld(sl_s, h)
                       + _ld(zu_s, h) / _ld(su_s, h))
                 lam_full = qt + lam
@@ -383,13 +408,25 @@ def make_whole_pdip(H: int, n: int, m: int, iters: int, tile: int = _TILE,
 
         jax.lax.fori_loop(0, H, roll1, x0v)
 
-    def fn(A, Bm, c, x0, Q, QN, R, lb, ub):
+    def fn(A, Bm, c, *rest):
+        it = iter(rest)
+        x_ref = next(it) if with_xref else None
+        u_ref = next(it) if with_uref else None
+        x0, Q, QN, R, lb, ub = it
         B = A.shape[-1]
         assert B % tile == 0, f"batch {B} not a multiple of tile {tile}"
         tiles = B // tile
         dtype = A.dtype
         lb2 = jnp.asarray(lb, dtype).reshape(m, 1)
         ub2 = jnp.asarray(ub, dtype).reshape(m, 1)
+        ref_inputs = []
+        ref_specs = []
+        if with_xref:
+            ref_inputs.append(jnp.broadcast_to(x_ref, (H, n, B)).astype(dtype))
+            ref_specs.append(pl.BlockSpec((H, n, tile), lambda i: (0, 0, i)))
+        if with_uref:
+            ref_inputs.append(jnp.broadcast_to(u_ref, (H, m, B)).astype(dtype))
+            ref_specs.append(pl.BlockSpec((H, m, tile), lambda i: (0, 0, i)))
         u, xs = pl.pallas_call(
             kernel,
             grid=(tiles,),
@@ -397,6 +434,7 @@ def make_whole_pdip(H: int, n: int, m: int, iters: int, tile: int = _TILE,
                 pl.BlockSpec((H, n, n, tile), lambda i: (0, 0, 0, i)),
                 pl.BlockSpec((H, n, m, tile), lambda i: (0, 0, 0, i)),
                 pl.BlockSpec((H, n, tile), lambda i: (0, 0, i)),
+                *ref_specs,
                 pl.BlockSpec((n, tile), lambda i: (0, i)),
                 pl.BlockSpec((n, n), lambda i: (0, 0)),
                 pl.BlockSpec((n, n), lambda i: (0, 0)),
@@ -429,8 +467,8 @@ def make_whole_pdip(H: int, n: int, m: int, iters: int, tile: int = _TILE,
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(A, Bm, c, x0, Q.astype(dtype), QN.astype(dtype), R.astype(dtype),
-          lb2, ub2)
+        )(A, Bm, c, *ref_inputs, x0, Q.astype(dtype), QN.astype(dtype),
+          R.astype(dtype), lb2, ub2)
         return u, xs
 
     return fn

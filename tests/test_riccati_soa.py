@@ -160,9 +160,16 @@ def test_pdip_whole_solve_kernel_matches_scan(rng, monkeypatch):
     x0 = jnp.asarray(rng.standard_normal((n, B)))
     Q, QN, R = jnp.eye(n), jnp.eye(n) * 5.0, jnp.eye(m) * 0.1
     lb, ub = jnp.full(m, -1.5), jnp.full(m, 1.5)
-    u1, x1 = solve_box_mpc_riccati_soa_fused(A, Bm, c, Q, QN, R, x0, lb, ub,
-                                             iters=6, use_kernels="never")
-    u2, x2 = solve_box_mpc_riccati_soa_fused(A, Bm, c, Q, QN, R, x0, lb, ub,
-                                             iters=6, use_kernels="whole")
-    assert np.max(np.abs(np.asarray(u1) - np.asarray(u2))) < 1e-9
-    assert np.max(np.abs(np.asarray(x1) - np.asarray(x2))) < 1e-9
+    xr = jnp.asarray(rng.standard_normal((H, n, B)) * 0.1)
+    ur = jnp.asarray(rng.standard_normal((H, m, B)) * 0.1)
+    # regulator, x_ref-tracking, and full x_ref+u_ref tracking variants
+    # (the tracking kernel is what the error-state manifold MPC rides)
+    for kw in ({}, dict(x_ref=xr), dict(x_ref=xr, u_ref=ur)):
+        u1, x1 = solve_box_mpc_riccati_soa_fused(
+            A, Bm, c, Q, QN, R, x0, lb, ub, iters=6, use_kernels="never",
+            **kw)
+        u2, x2 = solve_box_mpc_riccati_soa_fused(
+            A, Bm, c, Q, QN, R, x0, lb, ub, iters=6, use_kernels="whole",
+            **kw)
+        assert np.max(np.abs(np.asarray(u1) - np.asarray(u2))) < 1e-9
+        assert np.max(np.abs(np.asarray(x1) - np.asarray(x2))) < 1e-9
