@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from reak_tpu.kte.spec import ChainSpec, JointType, REVOLUTE, PRISMATIC, FIXED
+from reak_tpu.kte.spec import (ChainSpec, JointType, REVOLUTE, PRISMATIC,
+                               FIXED, FREE)
 
 
 # ---------------------------------------------------------------------------
@@ -86,18 +87,20 @@ def _const_vec(v):
 class _SoaFk(NamedTuple):
     com: tuple  # per body: vec3 (world COM)
     quat: tuple  # per body: quat (body→world)
-    anchors: tuple  # per 1-dof joint: vec3
+    anchors: tuple  # per joint: vec3
     axes_g: tuple  # per 1-dof joint: vec3 (world axis)
     types: tuple
+    pre_quat: tuple  # per joint: quat of the frame BEFORE the joint
 
 
 def _fk_soa(spec: ChainSpec, q):
-    """q: tuple of nv arrays (batch-last).  Static constants fold at trace."""
-    one = 1.0
+    """q: tuple of nq arrays (batch-last; nq = nv for fixed-base chains,
+    nv + 1 with a free base: [p(3), quat(4)] per FREE joint, ref
+    free_joints.hpp:165 packing).  Static constants fold at trace."""
     p = (0.0, 0.0, 0.0)
     Q = (1.0, 0.0, 0.0, 0.0)
-    coms, quats, anchors, axes_g, types = [], [], [], [], []
-    vi = 0
+    coms, quats, anchors, axes_g, types, pre_quats = [], [], [], [], [], []
+    ci = 0
     for i, jt in enumerate(spec.joint_types):
         jt = JointType(jt)
         off = _const_vec(spec.offsets_pos[i])
@@ -106,10 +109,11 @@ def _fk_soa(spec: ChainSpec, q):
             p = _add(p, _qrot(Q, off))
         if oq != (1.0, 0.0, 0.0, 0.0):
             Q = _qmul(Q, oq)
+        pre_quats.append(Q)
         ax = _const_vec(spec.axes[i])
         if jt == REVOLUTE:
-            qi = q[vi]
-            vi += 1
+            qi = q[ci]
+            ci += 1
             a_g = _qrot(Q, ax)
             anchors.append(p)
             axes_g.append(a_g)
@@ -119,39 +123,79 @@ def _fk_soa(spec: ChainSpec, q):
             qj = (c, ax[0] * s, ax[1] * s, ax[2] * s)
             Q = _qmul(Q, qj)
         elif jt == PRISMATIC:
-            qi = q[vi]
-            vi += 1
+            qi = q[ci]
+            ci += 1
             a_g = _qrot(Q, ax)
             anchors.append(p)
             axes_g.append(a_g)
             types.append(PRISMATIC)
             p = _add(p, _scale(qi, a_g))
+        elif jt == FREE:
+            # 6-DoF joint: q = [pos(3) in pre-frame coords, quat(4)]
+            # (ref: free_joints.hpp:165 — end = base * coordinate frame)
+            dp = (q[ci], q[ci + 1], q[ci + 2])
+            p = _add(p, _qrot(Q, dp))
+            qf = (q[ci + 3], q[ci + 4], q[ci + 5], q[ci + 6])
+            inv_n = jax.lax.rsqrt(qf[0] * qf[0] + qf[1] * qf[1]
+                                  + qf[2] * qf[2] + qf[3] * qf[3])
+            qf = tuple(x * inv_n for x in qf)
+            Q = _qmul(Q, qf)
+            ci += 7
+            anchors.append(p)
+            axes_g.append((0.0, 0.0, 0.0))
+            types.append(FREE)
         elif jt == FIXED:
             anchors.append(p)
             axes_g.append((0.0, 0.0, 0.0))
             types.append(FIXED)
         else:
-            raise NotImplementedError("soa path: fixed-base chains only")
+            raise NotImplementedError(f"soa path: joint type {jt}")
         com = _const_vec(spec.com_pos[i])
         pc = _add(p, _qrot(Q, com)) if com != (0.0, 0.0, 0.0) else p
         coms.append(pc)
         quats.append(Q)
-    return _SoaFk(tuple(coms), tuple(quats), tuple(anchors), tuple(axes_g), tuple(types))
+    return _SoaFk(tuple(coms), tuple(quats), tuple(anchors), tuple(axes_g),
+                  tuple(types), tuple(pre_quats))
 
 
 def _jacobians_soa(spec: ChainSpec, fkr: _SoaFk):
-    """Per body b, per dof k: (Jv[b][k] vec3 world, Jw[b][k] vec3 BODY)."""
+    """Per body b, per dof k: (Jv[b][k] vec3 world, Jw[b][k] vec3 BODY).
+
+    FREE joints contribute 6 columns (matching kte/dynamics.jacobians): 3
+    linear dofs along the pre-frame axes (world coords), 3 angular dofs along
+    the base-BODY frame axes anchored at the joint origin."""
     nb = spec.n_joints
     Jv = [[None] * spec.nv for _ in range(nb)]
     Jw = [[None] * spec.nv for _ in range(nb)]
+    zero3 = (0.0, 0.0, 0.0)
+    basis = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
     col = 0
     for i, jt in enumerate(fkr.types):
         if jt == FIXED:
             continue
+        if jt == FREE:
+            lin_axes = [_qrot(fkr.pre_quat[i], e) for e in basis]
+            ang_axes = [_qrot(fkr.quat[i], e) for e in basis]
+            for b in range(nb):
+                for j in range(3):
+                    if b < i:
+                        Jv[b][col + j] = zero3
+                        Jw[b][col + j] = zero3
+                        Jv[b][col + 3 + j] = zero3
+                        Jw[b][col + 3 + j] = zero3
+                        continue
+                    Jv[b][col + j] = lin_axes[j]
+                    Jw[b][col + j] = zero3
+                    r = tuple(fkr.com[b][k] - fkr.anchors[i][k]
+                              for k in range(3))
+                    Jv[b][col + 3 + j] = _cross(ang_axes[j], r)
+                    Jw[b][col + 3 + j] = _qrot_inv(fkr.quat[b], ang_axes[j])
+            col += 6
+            continue
         for b in range(nb):
             if b < i:
-                Jv[b][col] = (0.0, 0.0, 0.0)
-                Jw[b][col] = (0.0, 0.0, 0.0)
+                Jv[b][col] = zero3
+                Jw[b][col] = zero3
                 continue
             if jt == REVOLUTE:
                 r = tuple(fkr.com[b][k] - fkr.anchors[i][k] for k in range(3))
@@ -164,14 +208,39 @@ def _jacobians_soa(spec: ChainSpec, fkr: _SoaFk):
     return Jv, Jw
 
 
+def _config_rate_soa(spec: ChainSpec, q, qd):
+    """Register-form config_rate: tangent of the configuration tuple along
+    the generalized velocity (quaternion rate ½ q⊗(0, ω_body) for FREE
+    joints — ref: manipulator_model.cpp:301-344 quaternion-rate packing).
+    Mirrors kte/dynamics.config_rate exactly (raw, un-normalized quat)."""
+    out = []
+    ci = vi = 0
+    for i, jt in enumerate(spec.joint_types):
+        jt = JointType(jt)
+        if jt in (REVOLUTE, PRISMATIC):
+            out.append(qd[vi])
+            ci += 1
+            vi += 1
+        elif jt == FREE:
+            out.extend(qd[vi:vi + 3])
+            quat = (q[ci + 3], q[ci + 4], q[ci + 5], q[ci + 6])
+            w = (qd[vi + 3], qd[vi + 4], qd[vi + 5])
+            qdot = _qmul(quat, (jnp.zeros_like(w[0]),) + w)
+            out.extend(0.5 * x for x in qdot)
+            ci += 7
+            vi += 6
+    return tuple(out)
+
+
 def make_terms_soa(spec: ChainSpec):
     """Build terms(q, qd) → (M upper-tri dict, f tuple) in register form.
 
-    q, qd: tuples of nv arrays (any broadcastable shape, batch-last by
-    convention).  Returns M as a full nested tuple (nv × nv) and f (nv,).
+    q: tuple of nq arrays, qd: tuple of nv arrays (any broadcastable shape,
+    batch-last by convention).  Returns M as a full nested tuple (nv × nv)
+    and f (nv,).  Free-base (quaternion) chains supported: the configuration
+    tuple carries [p(3), quat(4)] for each FREE joint and the jvp tangent is
+    the register-form config rate.
     """
-    if spec.has_free_base:
-        raise NotImplementedError("soa path: fixed-base chains only")
     nv = spec.nv
     nb = spec.n_joints
     masses = [float(m) for m in spec.masses]
@@ -194,9 +263,11 @@ def make_terms_soa(spec: ChainSpec):
         return tuple(v), tuple(w), Jv, Jw
 
     def terms(q, qd):
-        # one jvp gives J̇q̇ bias accelerations (same trick as dynamics.py)
+        # one jvp gives J̇q̇ bias accelerations (same trick as dynamics.py);
+        # the tangent is the config rate (== qd for fixed-base chains)
+        dq = _config_rate_soa(spec, q, qd) if spec.has_free_base else qd
         (v, w, Jv, Jw), (a_bias, al_bias, _, _) = jax.jvp(
-            lambda qq: vel_map(qq, qd), (q,), (qd,)
+            lambda qq: vel_map(qq, qd), (q,), (dq,)
         )
         # mass matrix
         M = [[0.0] * nv for _ in range(nv)]
@@ -240,18 +311,34 @@ def make_terms_soa(spec: ChainSpec):
             for k in range(nv):
                 f[k] = f[k] + _dot(Jv[b][k], f_lin) + _dot(Jw[b][k], f_ang)
 
-        # passive joint elements (springs/dampers; smooth part only on hot path)
-        col = 0
+        # passive joint elements (springs/dampers; smooth part only on hot
+        # path; FREE dofs carry no passive elements)
+        ci = col = 0
         for i, jt in enumerate(spec.joint_types):
-            if JointType(jt) == FIXED:
+            jt = JointType(jt)
+            if jt == FIXED:
+                continue
+            if jt == FREE:
+                ci += 7
+                col += 6
                 continue
             kstf = float(spec.stiffness[i])
             dmp = float(spec.damping[i])
             if kstf != 0.0:
-                f[col] = f[col] - kstf * (q[col] - float(spec.rest_q[i]))
+                f[col] = f[col] - kstf * (q[ci] - float(spec.rest_q[i]))
             if dmp != 0.0:
                 f[col] = f[col] - dmp * qd[col]
+            ci += 1
             col += 1
+        if spec.has_free_base:
+            # the free base's lin-lin mass block is CONSTANT (total mass ×
+            # identity) and folds to Python floats; materialize every entry
+            # as an array of the batch shape so callers can stack/linearize
+            batch = jnp.shape(q[0])
+            dtype = jnp.result_type(q[0])
+            bc = lambda x: jnp.broadcast_to(jnp.asarray(x, dtype), batch)
+            M = [[bc(M[k][l]) for l in range(nv)] for k in range(nv)]
+            f = [bc(x) for x in f]
         return tuple(tuple(row) for row in M), tuple(f)
 
     return terms
@@ -309,7 +396,11 @@ def make_rollout_ltv_soa(spec: ChainSpec, dt: float, horizon: int, order: int = 
     derivatives; q̈ derivatives follow from ∂q̈ = M⁻¹(∂f − ∂M q̈); the step
     itself is the exponential-series map of the frozen linearization (exact
     RK4-on-LTI), so the emitted LTV model is self-consistent with the rollout.
+    Fixed-base chains (free-base chains use the manifold rollout in
+    kte/lanes.make_manifold_rollout_ltv_lanes).
     """
+    assert not spec.has_free_base, \
+        "use kte/lanes.make_manifold_rollout_ltv_lanes for free-base chains"
     nv = spec.nv
     n = 2 * nv
     terms = make_terms_soa(spec)
