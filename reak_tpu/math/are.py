@@ -108,3 +108,80 @@ def clqr(A, B, Q, R, iters: int = 40):
     P = solve_care(A, B, Q, R, iters)
     K = solve_pd(R, jnp.swapaxes(B, -1, -2) @ P)
     return K, P
+
+
+# ---------------------------------------------------------------------------
+# Spectral factorization & infinite-horizon LQG
+# (ref: mat_are_solver.hpp:2624 solve_ctsf_problem, :2754 solve_dtsf_problem,
+#  :2136 solve_IHCT_LQG, :2606 solve_IHDT_LQG — QZ/Schur subspace extraction
+#  there; here the same solutions via the CARE/DARE reductions below, which
+#  map onto the batched sign-function/doubling machinery above.)
+# ---------------------------------------------------------------------------
+
+
+def solve_ctsf(A, B, C, D, iters: int = 40):
+    """Continuous-time spectral factorization: the P ⪰ 0 solving
+
+        B E⁻¹ Bᵀ + P Āᵀ + Ā P + P Cᵀ E⁻¹ C P = 0,
+        E = D + Dᵀ,  Ā = A − B E⁻¹ C
+
+    (ref: mat_are_solver.hpp:2624 — positive-real lemma equation; P is the
+    state covariance of the minimum-phase spectral factor of
+    Φ(s) = C(sI−A)⁻¹B + D, Φ + Φ* = W W*).
+
+    Reduction: X = −P solves the standard CARE  A_cᵀX + XA_c − XS X + Q_c = 0
+    with A_c = Āᵀ, S = CᵀE⁻¹C, Q_c = −BE⁻¹Bᵀ; the sign-function CARE solver
+    handles the indefinite Q_c (it only needs the Hamiltonian off the
+    imaginary axis).
+    """
+    E = D + jnp.swapaxes(D, -1, -2)
+    Bt = jnp.swapaxes(B, -1, -2)
+    EinvC = solve_pd(E, C)
+    Abar = A - B @ EinvC
+    W = B @ solve_pd(E, Bt)
+    X = solve_care(jnp.swapaxes(Abar, -1, -2), jnp.swapaxes(C, -1, -2),
+                   -W, E, iters=iters)
+    return symmetrize(-X)
+
+
+def solve_dtsf(A, B, C, D, iters: int = 30):
+    """Discrete-time spectral factorization: the P ⪰ 0 solving
+
+        P = F P Fᵀ + (G − F P Hᵀ)(E − H P Hᵀ)⁻¹(Gᵀ − H P Fᵀ),
+        E = J + Jᵀ   (F = A, G = B, H = C, J = D in the reference's naming)
+
+    (ref: mat_are_solver.hpp:2754).  Reduction: Y = −P solves the
+    cross-term-free filter DARE with F̄ = F − G E⁻¹ H, R = E, and indefinite
+    Q̄ = −G E⁻¹ Gᵀ, which in control form is  solve_dare(F̄ᵀ, Hᵀ, Q̄, E).
+    """
+    F, G, H, J = A, B, C, D
+    E = J + jnp.swapaxes(J, -1, -2)
+    Fbar = F - G @ solve_pd(E, H)
+    Qbar = -G @ solve_pd(E, jnp.swapaxes(G, -1, -2))
+    Y = solve_dare(jnp.swapaxes(Fbar, -1, -2), jnp.swapaxes(H, -1, -2),
+                   Qbar, E, iters=iters)
+    return symmetrize(-Y)
+
+
+def solve_ihct_lqg(A, B, C, V, W, Q, R, iters: int = 40):
+    """Infinite-horizon continuous-time LQG: returns (K, P, L, S) — LQR gain
+    K (u = −Kx̂) with cost-to-go P, and steady-state Kalman-Bucy gain L with
+    error covariance S (ref: mat_are_solver.hpp:2136 solve_IHCT_LQG;
+    separation principle: one control CARE + one filter CARE)."""
+    K, P = clqr(A, B, Q, R, iters)
+    S = solve_care(jnp.swapaxes(A, -1, -2), jnp.swapaxes(C, -1, -2),
+                   V, W, iters)
+    L = jnp.swapaxes(solve_pd(W, C @ S), -1, -2)
+    return K, P, L, S
+
+
+def solve_ihdt_lqg(F, G, H, V, W, Q, R, iters: int = 30):
+    """Infinite-horizon discrete-time LQG: (K, P, L, S) with K the LQR gain,
+    S the steady-state *predicted* error covariance, and L = SHᵀ(W+HSHᵀ)⁻¹
+    the Kalman gain (ref: mat_are_solver.hpp:2606 solve_IHDT_LQG)."""
+    K, P = dlqr(F, G, Q, R, iters)
+    S = solve_dare(jnp.swapaxes(F, -1, -2), jnp.swapaxes(H, -1, -2),
+                   V, W, iters)
+    Ht = jnp.swapaxes(H, -1, -2)
+    L = jnp.swapaxes(solve_pd(W + H @ S @ Ht, H @ S), -1, -2)
+    return K, P, L, S
