@@ -70,3 +70,126 @@ class progress_reporter:
         if iteration % self.interval == 0:
             count = int(state.count) if hasattr(state, "count") else -1
             print(f"[planner] iter={iteration} vertices={count}")
+
+
+def _graph_cost_to_come(space, verts, parents):
+    """Per-vertex cost-to-come along tree edges (root cost 0)."""
+    import jax.numpy as jnp
+
+    n = len(verts)
+    cost = np.zeros(n)
+    # parents always point to lower indices in the wave builders, so one
+    # forward sweep suffices
+    for i in range(1, n):
+        p = parents[i]
+        if p >= 0:
+            d = float(space.distance(jnp.asarray(verts[p]),
+                                     jnp.asarray(verts[i])))
+            cost[i] = cost[p] + d
+    return cost
+
+
+def vlist_engine(planner: Callable, workspace, query: PlanningQuery,
+                 out_stem: str, seed: int = 0, **planner_kw):
+    """Single-run engine that dumps the planner's MOTION GRAPH vertex list
+    (index, parent, cost-to-come, coordinates) and the solution records to
+    files — the reference's vlist_print_mp_engine
+    (ref: planner_exec_engines.hpp:214 + vlist_sbmp_report.hpp,
+    basic_sbmp_reporters.hpp least_cost_sbmp_report).
+
+    Writes ``<out_stem>_vlist.csv``, ``<out_stem>_solutions.csv`` (empty if
+    unsolved) and ``<out_stem>_times.txt``; returns the PlanResult.  The
+    planner must expose its graph via ``PlanResult.stats['verts'/'parents']``
+    (reak_tpu.planning.rrt does).
+    """
+    import os
+
+    os.makedirs(os.path.dirname(out_stem) or ".", exist_ok=True)
+    res: PlanResult = planner(workspace, query, seed=seed, **planner_kw)
+    verts = res.stats.get("verts")
+    parents = res.stats.get("parents")
+    if verts is None:
+        raise ValueError("planner result carries no motion graph "
+                         "(stats['verts']); vlist engine needs one")
+    cost = _graph_cost_to_come(workspace.space, verts, parents)
+    with open(out_stem + "_vlist.csv", "w") as f:
+        f.write("index,parent,cost_to_come," +
+                ",".join(f"x{i}" for i in range(verts.shape[1])) + "\n")
+        for i in range(len(verts)):
+            coords = ",".join(f"{float(v):.17g}" for v in verts[i])
+            f.write(f"{i},{int(parents[i])},{cost[i]:.17g},{coords}\n")
+    with open(out_stem + "_solutions.csv", "w") as f:
+        if res.success and res.path is not None:
+            for row in np.asarray(res.path):
+                f.write(",".join(f"{float(v):.17g}" for v in row) + "\n")
+    with open(out_stem + "_times.txt", "w") as f:
+        f.write(f"{res.wall_time_s:.6f} {res.n_vertices} {res.cost}\n")
+    return res
+
+
+def differ_report_engine(planner: Callable, workspace, query: PlanningQuery,
+                         out_stem: str, segment_steps: int = 10,
+                         seed: int = 0, **planner_kw):
+    """Single-run engine dumping the solution trajectory DENSIFIED to
+    ``segment_steps`` interpolation points per edge — the reference's
+    differ_report_mp_engine / differ_sbmp_report_to_space
+    (ref: planner_exec_engines.hpp:275).  Writes
+    ``<out_stem>_traj.csv``; returns the PlanResult."""
+    import os
+
+    os.makedirs(os.path.dirname(out_stem) or ".", exist_ok=True)
+    res: PlanResult = planner(workspace, query, seed=seed, **planner_kw)
+    with open(out_stem + "_traj.csv", "w") as f:
+        if res.success and res.path is not None:
+            path = np.asarray(res.path)
+            for a, b in zip(path[:-1], path[1:]):
+                for s in np.linspace(0.0, 1.0, segment_steps, endpoint=False):
+                    p = a + s * (b - a)
+                    f.write(",".join(f"{float(v):.17g}" for v in p) + "\n")
+            f.write(",".join(f"{float(v):.17g}" for v in path[-1]) + "\n")
+    return res
+
+
+def load_vlist(path: str):
+    """Read a ``vlist_engine`` dump back: (verts, parents, cost_to_come)."""
+    data = np.loadtxt(path, delimiter=",", skiprows=1, ndmin=2)
+    parents = data[:, 1].astype(int)
+    cost = data[:, 2]
+    verts = data[:, 3:]
+    return verts, parents, cost
+
+
+def diff_motion_graphs(space, stem_a: str, stem_b: str):
+    """Run-to-run structural diff of two vlist dumps — the report the
+    reference's differ engines exist to enable (compare planner runs across
+    algorithms/settings).  Returns coverage/cost deltas:
+
+    - ``n_vertices``: per-run vertex counts;
+    - ``hausdorff_ab``/``hausdorff_ba``: directed Hausdorff distances
+      between the vertex sets under the space metric (coverage difference);
+    - ``mean_nn``: symmetric mean nearest-neighbor distance;
+    - ``cost_best``: per-run best cost-to-come at the last vertex layer.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    va, pa, ca = load_vlist(stem_a + "_vlist.csv")
+    vb, pb, cb = load_vlist(stem_b + "_vlist.csv")
+    A = jnp.asarray(va)
+    B = jnp.asarray(vb)
+
+    def directed(X, Y):
+        d = jax.vmap(
+            lambda x: jnp.min(space.distance(jnp.broadcast_to(x, Y.shape), Y))
+        )(X)
+        return d
+
+    d_ab = np.asarray(directed(A, B))
+    d_ba = np.asarray(directed(B, A))
+    return {
+        "n_vertices": (len(va), len(vb)),
+        "hausdorff_ab": float(np.max(d_ab)),
+        "hausdorff_ba": float(np.max(d_ba)),
+        "mean_nn": float(0.5 * (np.mean(d_ab) + np.mean(d_ba))),
+        "cost_best": (float(np.max(ca)), float(np.max(cb))),
+    }

@@ -120,8 +120,14 @@ def rrt_plan(
 
     gi = int(state.goal_idx)
     wall = time.perf_counter() - t0
+    cnt = int(state.count)
+    # motion-graph dump for the vlist/differ engines (ref:
+    # vlist_sbmp_report, planner_exec_engines.hpp:214)
+    graph = {"verts": np.asarray(state.verts[:cnt]),
+             "parents": np.asarray(state.parents[:cnt])}
     if gi < 0:
-        return PlanResult(False, None, float("inf"), int(state.count), it + 1, wall)
+        return PlanResult(False, None, float("inf"), cnt, it + 1, wall,
+                          stats=graph)
     parents = np.asarray(state.parents)
     verts_np = np.asarray(state.verts)
     path = [np.asarray(goal)]
@@ -130,7 +136,8 @@ def rrt_plan(
         path.append(verts_np[i])
         i = parents[i]
     path = np.stack(path[::-1])
-    return PlanResult(True, path, path_cost(space, path), int(state.count), it + 1, wall)
+    return PlanResult(True, path, path_cost(space, path), cnt, it + 1, wall,
+                      stats=graph)
 
 
 class _Tree(NamedTuple):
