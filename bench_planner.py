@@ -17,7 +17,7 @@ kinodynamic planners query, ref: misc/MEAQR_topology.hpp:316) and Monte-Carlo
 solution-quality statistics over the bitmap worlds (the reference's
 *_times.txt records).
 
-Writes PLANNER_r04.json and prints ONE JSON line.
+Writes PLANNER_r05.json and prints ONE JSON line.
 """
 import json
 import os
@@ -114,11 +114,15 @@ def meaqr_wave(wave=10_000, reps=10):
             "distance_queries_per_s": round(wave / t, 1)}
 
 
-def bitmap_mc(n_runs=5, max_iters=60):
-    """Monte-Carlo solution-quality stats over the bitmap test world
-    (ref: planner_exec_engines.hpp monte_carlo_mp_engine records)."""
-    from reak_tpu.planning import bitmap_workspace, rrt_plan, rrt_star_plan
-    from reak_tpu.planning.engines import monte_carlo_engine
+def bitmap_mc(n_runs=16, max_iters=60):
+    """Monte-Carlo solution-quality stats over the bitmap test world, all
+    runs batched as ONE device program (rrt_plan_batch / rrt_star_plan_batch
+    — replaces the reference's serial MC loop,
+    planner_exec_engines.hpp:125-160; VERDICT r4 item 6)."""
+    from reak_tpu.planning import bitmap_workspace
+    from reak_tpu.planning.rrt import rrt_plan_batch
+    from reak_tpu.planning.rrt_star import rrt_star_plan_batch
+    from reak_tpu.planning.engines import monte_carlo_engine_batched
     from reak_tpu.planning.queries import PlanningQuery
     import reak_tpu.spaces.vector as sp
 
@@ -132,9 +136,13 @@ def bitmap_mc(n_runs=5, max_iters=60):
     query = PlanningQuery(np.array([5.0, 1.0]), np.array([5.0, 9.0]),
                           goal_tolerance=0.5)
     out = {}
-    for name, planner in (("rrt", rrt_plan), ("rrt_star", rrt_star_plan)):
-        stats = monte_carlo_engine(planner, ws, query, n_runs=n_runs,
+    for name, planner in (("rrt", rrt_plan_batch),
+                          ("rrt_star", rrt_star_plan_batch)):
+        # warm-up compile (excluded from the recorded stats), then timed run
+        monte_carlo_engine_batched(planner, ws, query, n_runs=n_runs,
                                    max_iters=max_iters, step_size=0.8)
+        stats = monte_carlo_engine_batched(planner, ws, query, n_runs=n_runs,
+                                           max_iters=max_iters, step_size=0.8)
         stats.pop("rows")
         out[name] = stats
     return out
@@ -162,7 +170,7 @@ def main():
                    "device": str(jax.devices()[0])},
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "PLANNER_r04.json"), "w") as f:
+                           "PLANNER_r05.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
 

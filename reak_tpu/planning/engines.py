@@ -193,3 +193,39 @@ def diff_motion_graphs(space, stem_a: str, stem_b: str):
         "mean_nn": float(0.5 * (np.mean(d_ab) + np.mean(d_ba))),
         "cost_best": (float(np.max(ca)), float(np.max(cb))),
     }
+
+
+def monte_carlo_engine_batched(planner_batch: Callable, workspace,
+                               query: PlanningQuery, n_runs: int = 10,
+                               recorder=None, **planner_kw):
+    """Monte-Carlo statistics via a BATCHED planner (rrt.rrt_plan_batch /
+    rrt_star.rrt_star_plan_batch): all runs execute as one device program,
+    so per-run wall-clock amortizes to total/n_runs — the vmapped-MC design
+    SURVEY §7 calls for (vs the reference's serial loop,
+    planner_exec_engines.hpp:125-160).  Same aggregate dict as
+    monte_carlo_engine, plus ``wall_total_s``."""
+    results, wall_total = planner_batch(workspace, query, n_runs=n_runs,
+                                        **planner_kw)
+    rows = []
+    for run, res in enumerate(results):
+        row = {
+            "run": run,
+            "success": int(res.success),
+            "cost": res.cost,
+            "vertices": res.n_vertices,
+            "iterations": res.n_iterations,
+            "wall_time_s": res.wall_time_s,
+        }
+        rows.append(row)
+        if recorder is not None:
+            recorder.record(row)
+    succ = [r for r in rows if r["success"]]
+    return {
+        "n_runs": n_runs,
+        "success_rate": len(succ) / n_runs,
+        "mean_time_s": wall_total / n_runs,
+        "wall_total_s": wall_total,
+        "mean_cost": float(np.mean([r["cost"] for r in succ])) if succ else float("inf"),
+        "mean_vertices": float(np.mean([r["vertices"] for r in rows])),
+        "rows": rows,
+    }

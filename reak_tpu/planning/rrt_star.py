@@ -95,7 +95,8 @@ def _make_star_step(space, workspace, step_size, gamma, goal_bias, K=32,
             jnp.where(write, parent_idx.astype(jnp.int32), state.parents[slots])
         )
         costs = state.costs.at[slots].set(jnp.where(write, parent_cost, state.costs[slots]))
-        count = jnp.minimum(state.count + jnp.sum(write.astype(jnp.int32)), cap - 1)
+        count = jnp.minimum(state.count + jnp.sum(write.astype(jnp.int32)),
+                            cap - 1).astype(jnp.int32)
 
         # rewire: for each new vertex, improve in-ball old vertices through it
         thru_cost = parent_cost[:, None] + dmat  # (K, cap)
@@ -169,3 +170,81 @@ def rrt_star_plan(
         i = parents[i]
     path = np.stack(path[::-1])
     return PlanResult(True, path, path_cost(space, path), cnt, max_iters, wall)
+
+
+def rrt_star_plan_batch(
+    workspace,
+    query: PlanningQuery,
+    n_runs: int = 8,
+    max_iters: int = 150,
+    step_size: float = 0.5,
+    gamma: float = 3.0,
+    goal_bias: float = 0.05,
+    capacity: int = 4096,
+    seed: int = 0,
+):
+    """Batched Monte-Carlo RRT*: all runs advance as one device program
+    (``fori_loop`` over waves, vmapped across runs) — replaces the serial
+    MC loop of ref planner_exec_engines.hpp:125-160 like
+    rrt.rrt_plan_batch.  Returns ``(results, wall_s_total)``."""
+    space = workspace.space
+    start = jnp.asarray(query.start)
+    goal = jnp.asarray(query.goal)
+    n = start.shape[-1]
+    step = _make_star_step(space, workspace, step_size, gamma, goal_bias)
+
+    def init_one(_):
+        return _StarState(
+            verts=jnp.zeros((capacity, n), start.dtype).at[0].set(start),
+            parents=jnp.full((capacity,), -1, jnp.int32),
+            costs=jnp.full((capacity,), jnp.inf).at[0].set(0.0),
+            count=jnp.asarray(1, jnp.int32),
+        )
+
+    @jax.jit
+    def solve_all(key):
+        states = jax.vmap(init_one)(jnp.arange(n_runs))
+
+        def body(it, c):
+            states, key = c
+            key, sub = jax.random.split(key)
+            subs = jax.random.split(sub, n_runs)
+            states = jax.vmap(step, in_axes=(0, None, 0))(states, goal, subs)
+            return states, key
+
+        states, _ = jax.lax.fori_loop(0, max_iters, body, (states, key))
+        return states
+
+    t0 = time.perf_counter()
+    states = solve_all(jax.random.PRNGKey(seed))
+    jax.block_until_ready(states.verts)
+    wall = time.perf_counter() - t0
+
+    results = []
+    verts_all = np.asarray(states.verts)
+    costs_all = np.asarray(states.costs)
+    parents_all = np.asarray(states.parents)
+    for r in range(n_runs):
+        verts = verts_all[r]
+        costs = costs_all[r]
+        parents = parents_all[r]
+        cnt = int(states.count[r])
+        d_goal = np.asarray(space.distance(
+            jnp.asarray(verts[:cnt]), jnp.broadcast_to(goal, (cnt, n))))
+        near_goal = d_goal <= query.goal_tolerance
+        graph = {"verts": verts[:cnt], "parents": parents[:cnt]}
+        if not near_goal.any():
+            results.append(PlanResult(False, None, float("inf"), cnt,
+                                      max_iters, wall / n_runs, stats=graph))
+            continue
+        cand = np.where(near_goal)[0]
+        gi = cand[np.argmin(costs[cand] + d_goal[cand])]
+        path = [np.asarray(goal)]
+        i = gi
+        while i >= 0:
+            path.append(verts[i])
+            i = parents[i]
+        path = np.stack(path[::-1])
+        results.append(PlanResult(True, path, path_cost(space, path), cnt,
+                                  max_iters, wall / n_runs, stats=graph))
+    return results, wall
