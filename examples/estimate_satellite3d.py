@@ -46,7 +46,92 @@ DEFAULTS = dict(
     generate_meas="",       # write a measurement stream and exit
     input="",               # read measurements from a recorded stream
     output="",              # recorder URI for estimates (csv/bin/tcp/udp)
+    options="",             # serialized EstimatorOptions scene file: the
+                            # whole model/noise/measurement config comes from
+                            # the archive (ref: satellite_modeling_options)
 )
+
+
+def run_from_options(path: str, seed: int = 0):
+    """Drive a full estimation run from a serialized EstimatorOptions scene
+    (ref: satellite_modeling_options.hpp:73,537 + the --init/--system files
+    of estimate_satellite3D.cpp): model kind, noise, measurement config
+    (incl. sonar grounding) and the TSOS-vs-joint filter choice all come
+    from the archive.  Returns (opts, final joint belief, truth state)."""
+    from reak_tpu.io.serialization import load_scene
+    from reak_tpu.ctrl import aug_kalman as ak
+    from reak_tpu.ctrl.invariant import iekf_step as _iekf
+
+    opts = load_scene(path)
+    F = opts.discrete()
+    h = opts.output()
+    key = jax.random.PRNGKey(seed)
+    n_aug = opts.n_aug
+    n_s = 13
+
+    # truth rollout with gentle thruster excitation (observability)
+    b0 = opts.initial_belief()
+    x = b0.mean
+    ts = jnp.arange(opts.steps) * opts.time_step
+    us = 0.5 * jnp.stack([jnp.sin(ts), jnp.cos(1.3 * ts),
+                          jnp.sin(0.7 * ts), 0.2 * jnp.sin(2.1 * ts),
+                          0.2 * jnp.cos(1.7 * ts),
+                          0.2 * jnp.sin(0.9 * ts)], axis=-1)
+    xs = [x]
+    for t in range(opts.steps):
+        xs.append(F(xs[-1], us[t]))
+    xs = jnp.stack(xs)
+    z_clean = jax.vmap(lambda xx: h(xx))(xs[1:])
+    # measurement noise in INNOVATION space: [δp(3), δθ(3), rest]; the
+    # attitude block perturbs the quaternion multiplicatively
+    R = opts.measurement_cov()
+    sd = jnp.sqrt(jnp.diag(R))
+    n = z_clean.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    zs = z_clean.at[:, 0:3].add(sd[0:3] * jax.random.normal(k1, (n, 3)))
+    dq = jax.vmap(rot.q_exp)(sd[3:6] * jax.random.normal(k2, (n, 3)))
+    zs = zs.at[:, 3:7].set(jax.vmap(rot.qnormalize)(
+        jax.vmap(rot.qmul)(z_clean[:, 3:7], dq)))
+    if zs.shape[-1] > 7:
+        zs = zs.at[:, 7:].add(
+            sd[6:] * jax.random.normal(k3, (n, zs.shape[-1] - 7)))
+
+    if opts.tsos and n_aug:
+        Fsa = lambda s, a, u, t=0.0: F(jnp.concatenate([s, a]), u, t)[:n_s]
+        hsa = lambda s, a, t=0.0: h(jnp.concatenate([s, a]), t)
+        P0 = b0.cov
+        # TSOS runs in ambient coordinates: 13-dim state block
+        Ps = jnp.eye(n_s, dtype=P0.dtype) * 1e-2
+        b = ak.tsos_init(b0.mean[:n_s], Ps, b0.mean[n_s:],
+                         P0[12:12 + n_aug, 12:12 + n_aug])
+        Qj = jax.scipy.linalg.block_diag(
+            jnp.eye(n_s, dtype=P0.dtype) * 1e-6,
+            jnp.eye(n_aug, dtype=P0.dtype) * 1e-8)
+        # TSOS innovation is ambient (z − h): expand R's attitude rows to
+        # the 4 quaternion components
+        Ramb = jax.scipy.linalg.block_diag(
+            R[0:3, 0:3], jnp.eye(4, dtype=R.dtype) * R[3, 3], R[6:, 6:])
+
+        def scan_step(b, zu):
+            z, u = zu
+            b1 = ak.tsos_step(Fsa, hsa, b, u, z, Qj, Ramb)
+            return b1, ak.tsos_state(b1)
+
+        b, means = jax.lax.scan(scan_step, b, (zs, us))
+        belief = ak.tsos_joint_belief(b)
+    else:
+        ret = opts.retraction()
+        Qt = jnp.eye(12 + n_aug) * 1e-6
+
+        def scan_step(b, zu):
+            z, u = zu
+            b1 = _iekf(F, lambda xx, t=0.0: h(xx), ret, b, u, z, Qt, R,
+                       diff=opts.innovation())
+            return b1, b1.mean
+
+        b, means = jax.lax.scan(scan_step, b0, (zs, us))
+        belief = b
+    return opts, belief, xs[-1]
 
 
 def make_system(cfg):
@@ -115,6 +200,16 @@ def run_filter(cfg, F, zs):
 def main(argv=None):
     cfg = config_from_args(argv if argv is not None else sys.argv[1:],
                            defaults=DEFAULTS)
+    if cfg["options"]:
+        opts, belief, x_true = run_from_options(cfg["options"], cfg["seed"])
+        err_p = float(jnp.linalg.norm(belief.mean[0:3] - x_true[0:3]))
+        print(f"options={cfg['options']} kind={opts.system_kind} "
+              f"meas={opts.measurements} tsos={opts.tsos}")
+        print(f"final position error: {err_p:.3e}")
+        if opts.n_aug:
+            print("estimated aug params:",
+                  np.asarray(belief.mean[13:13 + opts.n_aug]))
+        return 0
     params, F = make_system(cfg)
     key = jax.random.PRNGKey(cfg["seed"])
 

@@ -157,6 +157,42 @@ def make_h_pose_imu(params: SatelliteParams, f_of_xu: Callable | None = None):
     return h
 
 
+def make_h_sonars_in_room(room_lower, room_upper, sonar_pos, sonar_dir):
+    """Sonar-grounded output model: N body-mounted sonar rays return their
+    distance to the axis-aligned room box [room_lower, room_upper]
+    (ref: airship_sonar_mixins.hpp:157 sonars_in_room_output_model,
+    :171 get_sonar_distance_to_room — the indoor-airship grounding
+    measurement of the Tryphon blimp experiments).
+
+    TPU-native form: the reference's per-surface branch cascade becomes one
+    masked minimum over the 6 slab intersections, vectorized over all N
+    sonars — no data-dependent control flow, vmappable over scenario
+    batches.  A ray that exits the box (no positive hit) reports 0, matching
+    the reference's impossible-distance guard.
+
+    Returns ``h(x, t=0.0) → (N,)`` distances given the rigid-body state x.
+    """
+    lo = jnp.asarray(room_lower, jnp.result_type(float))
+    hi = jnp.asarray(room_upper, jnp.result_type(float))
+    spos = jnp.asarray(sonar_pos, jnp.result_type(float))   # (N, 3) body
+    sdir = jnp.asarray(sonar_dir, jnp.result_type(float))   # (N, 3) body
+
+    def h(x, t=0.0):
+        p, q, _, _, _ = split_state(x)
+        pos_g = p + rot.qrot(q, spos)                       # (N, 3) world
+        dir_g = rot.qrot(q, jnp.broadcast_to(sdir, spos.shape))
+        safe = jnp.where(jnp.abs(dir_g) > 1e-4, dir_g, 1.0)
+        t_lo = (lo - pos_g) / safe                          # (N, 3)
+        t_hi = (hi - pos_g) / safe
+        valid = jnp.abs(dir_g) > 1e-4
+        cand = jnp.concatenate([t_lo, t_hi], axis=-1)       # (N, 6)
+        ok = jnp.concatenate([valid, valid], axis=-1) & (cand > 0.0)
+        dist = jnp.min(jnp.where(ok, cand, jnp.inf), axis=-1)
+        return jnp.where(jnp.isfinite(dist), dist, 0.0)
+
+    return h
+
+
 def pose_innovation(z, y):
     """Measurement difference for [p, q, ...] outputs: quaternion part maps to
     a 3-vector rotation error via the log map (the reference's invariant
