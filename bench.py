@@ -262,6 +262,35 @@ def main():
         traceback.print_exc(file=sys.stderr)
         free_base = {"error": str(e)}
 
+    # ---- H=128 long-horizon point: must stay on the whole-solve kernel
+    # (VERDICT r4 item 2: no fall-back to per-pass kernels at H >= 128)
+    h128 = None
+    try:
+        if on_tpu and _pwp.fits_vmem(128, n, m):
+            B128 = 2048
+            roll128 = (lanes.make_rollout_ltv_fullfused(spec, dt, 128)
+                       if B128 % kte_core_pallas._TILE == 0
+                       else lanes.make_rollout_ltv_lanes(spec, dt, 128))
+            x0h = x0[:B128]
+            u0h = jnp.zeros((B128, 128, m), jnp.float32)
+            A_h, B_h, c_h, _ = jax.jit(roll128)(x0h, u0h)
+            # use_kernels="whole" asserts the whole-kernel path is taken
+            f_h128 = jax.jit(lambda A, Bm, c, xT: jnp.sum(
+                solve_box_mpc_riccati_soa_fused(
+                    A, Bm, c, prob.Q, prob.QN, prob.R, xT, prob.u_min,
+                    prob.u_max, iters=qp_iters, use_kernels="whole")[0]))
+            t_h128 = amortized(f_h128, (A_h, B_h, c_h, x0h.T),
+                               max(2, reps // 2))
+            h128 = {"horizon": 128, "batch": B128,
+                    "pdip_ms": round(t_h128 * 1e3, 2),
+                    "pdip_solves_per_s": round(B128 / t_h128, 1),
+                    "whole_kernel": True}
+        else:
+            h128 = {"skipped": "not on TPU or fits_vmem(128) false"}
+    except Exception as e:
+        traceback.print_exc(file=sys.stderr)
+        h128 = {"error": str(e)}
+
     target = 5000.0
     print(
         json.dumps(
@@ -287,6 +316,7 @@ def main():
                            "dtype": "float32",
                            "backend": jax.default_backend()},
                 "free_base_scenario_mpc": free_base,
+                "long_horizon_h128": h128,
             }
         )
     )

@@ -287,14 +287,32 @@ def make_kte_mpc(spec, problem: MPCProblem, dt: float, qp_iters: int = 8,
             return roll_fused if (tiled and (on_tpu or kcp.FORCE_INTERPRET)) \
                 else roll_lanes
 
-        def solve_batch_lanes(x0s, us_init):
+        def to_lanes(ref, width):
+            """(width,) | (H, width) | (B, H, width) reference → lanes."""
+            if ref is None:
+                return None
+            ref = jnp.asarray(ref)
+            if ref.ndim == 1:
+                return jnp.broadcast_to(ref[None, :, None], (H, width, 1))
+            if ref.ndim == 2:
+                return ref[..., None]                      # (H, w, 1)
+            return jnp.moveaxis(ref, 0, -1)                # (H, w, B)
+
+        def solve_batch_lanes(x0s, us_init, x_ref=None, u_ref=None):
+            # tracking MPC (x_ref/u_ref) rides the SAME whole-solve Pallas
+            # kernel as the regulator path (ops/pdip_whole_pallas
+            # with_xref/with_uref; ref tracking recursion
+            # mat_are_solver.hpp:1449 + lqr_controllers.hpp:58)
             roll_l = pick_roll(x0s.shape[0])
+            xr_l = to_lanes(x_ref, 2 * spec.nv)
+            ur_l = to_lanes(u_ref, problem.R.shape[-1])
             us = us_init  # (B, H, m)
             for _ in range(sqp_iters):
                 A_l, B_l, c_l, _ = roll_l(x0s, us)
                 ul, xl = solve_box_mpc_riccati_soa_fused(
                     A_l, B_l, c_l, problem.Q, problem.QN, problem.R,
                     x0s.T, problem.u_min, problem.u_max, iters=qp_iters,
+                    x_ref=xr_l, u_ref=ur_l,
                 )
                 us = jnp.moveaxis(ul, -1, 0)
             return us, jnp.moveaxis(xl, -1, 0)

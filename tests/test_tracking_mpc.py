@@ -1,0 +1,111 @@
+"""Tracking MPC (x_ref/u_ref) on the flagship fixed-base lanes path and the
+unified KTE scenario-MPC dispatcher (VERDICT r4 item 2 + weak #1)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reak_tpu.kte import models
+from reak_tpu.ctrl import mpc
+from reak_tpu.ctrl.mpc_manifold import make_kte_scenario_mpc
+from reak_tpu.ctrl.riccati import solve_box_mpc_riccati
+from reak_tpu.kte.lanes import make_rollout_ltv_lanes
+
+
+def _problem(H, m=2):
+    return mpc.MPCProblem(
+        Q=jnp.diag(jnp.concatenate([jnp.full(m, 10.0), jnp.full(m, 1.0)])),
+        R=jnp.eye(m) * 0.05,
+        QN=jnp.diag(jnp.concatenate([jnp.full(m, 50.0), jnp.full(m, 5.0)])),
+        u_min=jnp.full(m, -30.0), u_max=jnp.full(m, 30.0), horizon=H)
+
+
+def test_tracking_matches_vmap_riccati_with_refs(rng):
+    """Lanes tracking path == batch-first riccati with the same x_ref."""
+    spec = models.planar_2link()
+    H, m = 12, 2
+    prob = _problem(H, m)
+    dt = 0.02
+    B = 3
+    x0s = jnp.asarray(rng.standard_normal((B, 4)) * 0.3)
+    us0 = jnp.zeros((B, H, m))
+    x_ref = jnp.asarray([0.4, -0.3, 0.0, 0.0])
+
+    solver = mpc.make_kte_mpc(spec, prob, dt, qp_iters=10, sqp_iters=1,
+                              rollout="lanes")
+    us_l, xs_l = solver(x0s, us0, x_ref=x_ref)
+
+    roll = make_rollout_ltv_lanes(spec, dt, H)
+    A_l, B_l, c_l, _ = roll(x0s, us0)
+    xr = jnp.broadcast_to(x_ref, (H, 4))
+
+    def one(A, Bm, c, x0):
+        return solve_box_mpc_riccati(
+            A, Bm, c, prob.Q, prob.QN, prob.R, x0, prob.u_min, prob.u_max,
+            x_ref=xr, iters=10)
+
+    us_v, xs_v = jax.vmap(one)(
+        jnp.moveaxis(A_l, -1, 0), jnp.moveaxis(B_l, -1, 0),
+        jnp.moveaxis(c_l, -1, 0), x0s)
+    np.testing.assert_allclose(np.asarray(us_l), np.asarray(us_v),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_tracking_converges_to_nonzero_target(rng):
+    """With a nonzero joint-space reference the tracked trajectory ends
+    near the target, NOT near the origin the regulator would pick."""
+    spec = models.planar_2link()
+    H, m = 30, 2
+    prob = _problem(H, m)
+    x0s = jnp.zeros((2, 4)).at[:, 0].set(jnp.asarray([-0.2, 0.1]))
+    us0 = jnp.zeros((2, H, m))
+    x_ref = jnp.asarray([0.5, -0.4, 0.0, 0.0])
+    # sqp_iters=1 (the bench configuration): full-step SQP without a
+    # globalization safeguard can diverge when re-linearized about an
+    # aggressive first QP solution at coarse dt
+    solver = mpc.make_kte_mpc(spec, prob, 0.05, qp_iters=10, sqp_iters=1,
+                              rollout="lanes")
+    us, xs = solver(x0s, us0, x_ref=x_ref)
+    # tracked endpoint is pulled most of the way to the reference...
+    err = np.linalg.norm(np.asarray(xs[:, -1, 0:2] - x_ref[None, 0:2]),
+                         axis=-1)
+    assert np.max(err) < 0.3
+    # ...while the regulator (no ref) heads for the origin instead
+    us_r, xs_r = solver(x0s, us0)
+    err_r = np.linalg.norm(np.asarray(xs_r[:, -1, 0:2] - x_ref[None, 0:2]),
+                           axis=-1)
+    assert np.min(err_r) > 2.0 * np.max(err)
+
+
+def test_kte_scenario_dispatch_fixed_and_free(rng):
+    """make_kte_scenario_mpc routes fixed-base chains to the flagship lanes
+    solver (tracking) and free-base chains to the manifold lanes SQP."""
+    # fixed-base
+    spec_f = models.planar_2link()
+    H = 10
+    prob = _problem(H, 2)
+    solve_f = make_kte_scenario_mpc(spec_f, prob, 0.02, qp_iters=6,
+                                    sqp_iters=1)
+    x0s = jnp.asarray(rng.standard_normal((2, 4)) * 0.2)
+    us, xs = solve_f(x0s, jnp.asarray([0.3, 0.0, 0.0, 0.0]),
+                     jnp.zeros((2, H, 2)))
+    assert us.shape == (2, H, 2) and np.all(np.isfinite(np.asarray(us)))
+
+    # free-base
+    spec_b = models.free_floating_3d()
+    nv = spec_b.nv
+    w = jnp.concatenate([jnp.full(nv, 5.0), jnp.full(nv, 0.5)])
+    prob_b = mpc.MPCProblem(Q=jnp.diag(w), R=jnp.eye(nv) * 0.05,
+                            QN=jnp.diag(10.0 * w),
+                            u_min=jnp.full(nv, -30.0),
+                            u_max=jnp.full(nv, 30.0), horizon=H)
+    solve_b = make_kte_scenario_mpc(spec_b, prob_b, 0.05, qp_iters=6,
+                                    sqp_iters=2)
+    x0 = jnp.zeros(spec_b.nq + nv).at[3].set(1.0).at[0].set(0.2)
+    x_ref = jnp.zeros(spec_b.nq + nv).at[3].set(1.0)
+    us_b, xs_b = solve_b(jnp.stack([x0, x0]), x_ref,
+                         jnp.zeros((2, H, nv)))
+    assert us_b.shape == (2, H, nv)
+    assert np.all(np.isfinite(np.asarray(us_b)))
+    # the free body is steered toward the origin pose
+    p_end = np.asarray(xs_b[:, -1, 0:3])
+    assert np.max(np.abs(p_end)) < 0.2
