@@ -87,11 +87,21 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(cfg["seed"])
     n = int(cfg["scenarios"])
-    x0s, us, xs = jax.jit(
-        lambda k: mm.belief_scenario_mpc(
-            k, Fu, ret, prob, b, n, x_ref,
-            qp_iters=int(cfg["qp_iters"]), sqp_iters=int(cfg["sqp_iters"]))
-    )(key)
+    # the round-5 lanes fast path: exact imdt step + analytic error-state
+    # LTV + whole-solve tracking PDIP kernel (ctrl/manifold_lanes) — 13x
+    # the generic AD-linearized composition on TPU (PERF_r05.md)
+    from reak_tpu.ctrl import manifold_lanes as ml
+
+    solver = ml.make_sat_scenario_mpc_lanes(
+        params, prob, cfg["dt"], qp_iters=int(cfg["qp_iters"]),
+        sqp_iters=int(cfg["sqp_iters"]))
+
+    def plan(k):
+        x0s = mm.sample_belief_states(k, b, n, ret=ret)
+        us, xs = solver(x0s, x_ref, jnp.zeros((n, prob.horizon, 6)))
+        return x0s, us, xs
+
+    x0s, us, xs = jax.jit(plan)(key)
 
     perr = jnp.linalg.norm(xs[:, -1, 0:3] - x_ref[0:3], axis=-1)
     dth = jax.vmap(lambda q: jnp.linalg.norm(
