@@ -203,6 +203,7 @@ def make_scenario_mpc_lanes(
     qp_iters: int = 8,
     sqp_iters: int = 2,
     use_kernels: str = "auto",
+    sqp_linesearch: bool = False,
 ):
     """Lanes-layout belief-scenario MPC driver.
 
@@ -212,6 +213,11 @@ def make_scenario_mpc_lanes(
     (H, S), us_init (B, H, m)) → (us (B, H, m), xs (B, H, S))`` — wrap in
     jax.jit.  Internally everything runs batch-LAST and the box-QP solves
     through the whole-solve tracking Pallas kernel on TPU.
+
+    ``sqp_linesearch``: per-scenario backtracking over α ∈ {1, ½, ¼} on the
+    true manifold tracking cost (one exact nominal rollout per candidate) —
+    the full-step SQP globalization; off by default (the bench satellite
+    config is stable without it).
     """
     Hh = problem.horizon
     m = problem.R.shape[-1]
@@ -225,6 +231,17 @@ def make_scenario_mpc_lanes(
 
         _, (xs_prev, xs) = jax.lax.scan(body, x, us_l)
         return xs_prev, xs
+
+    def traj_cost(x_l, u_l, xr_l):
+        """True manifold tracking cost per scenario (B,)."""
+        _, xs = rollout(x_l, u_l)
+        e = quat_local_lanes(jnp.broadcast_to(xr_l, xs.shape), xs,
+                             qi=quat_index)
+        qx = jnp.einsum("hib,ij,hjb->b", e[:-1], problem.Q, e[:-1])
+        qn = jnp.einsum("ib,ij,jb->b", e[-1], problem.QN, e[-1])
+        ru = jnp.einsum("hib,ij,hjb->b", u_l, problem.R, u_l)
+        cost = 0.5 * (qx + qn + ru)
+        return jnp.where(jnp.isfinite(cost), cost, jnp.inf)
 
     def solve(x0s, x_ref, us_init):
         dtype = x0s.dtype
@@ -248,10 +265,22 @@ def make_scenario_mpc_lanes(
             # local(x_ref, x̄_t) over the H tracked states x_1..x_H
             e_ref = quat_local_lanes(
                 jnp.broadcast_to(xr_l, xs.shape), xs, qi=quat_index)
-            u_l, _ = solve_box_mpc_riccati_soa_fused(
+            u_new, _ = solve_box_mpc_riccati_soa_fused(
                 A_seq, B_seq, c_seq, problem.Q, problem.QN, problem.R,
                 e0, problem.u_min, problem.u_max, x_ref=e_ref,
                 iters=qp_iters, use_kernels=use_kernels)
+            if sqp_linesearch and sqp_iters > 1:
+                best_u = u_l
+                best_J = traj_cost(x_l, u_l, xr_l)
+                for alpha in (1.0, 0.5, 0.25):
+                    u_a = u_l + alpha * (u_new - u_l)
+                    J_a = traj_cost(x_l, u_a, xr_l)
+                    take = J_a < best_J
+                    best_J = jnp.where(take, J_a, best_J)
+                    best_u = jnp.where(take[None, None, :], u_a, best_u)
+                u_l = best_u
+            else:
+                u_l = u_new
 
         _, xs = rollout(x_l, u_l)
         return jnp.moveaxis(u_l, -1, 0), jnp.moveaxis(xs, -1, 0)

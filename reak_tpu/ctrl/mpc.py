@@ -234,7 +234,7 @@ def solve(
 
 def make_kte_mpc(spec, problem: MPCProblem, dt: float, qp_iters: int = 8,
                  sqp_iters: int = 1, qp_layout: str = "lanes",
-                 rollout: str = "auto"):
+                 rollout: str = "auto", sqp_linesearch: bool = True):
     """Fused batched MPC solver for a fixed-base KTE chain — the TPU fast path.
 
     Composes the batch-in-lanes rollout+linearization with the Riccati
@@ -263,6 +263,14 @@ def make_kte_mpc(spec, problem: MPCProblem, dt: float, qp_iters: int = 8,
         round-trips.  The TPU speed path.
       - "vmap": per-scenario solver under jax.vmap (ctrl/riccati.py) —
         batch-first layout; cross-check / CPU path.
+
+    ``sqp_linesearch`` (active only when sqp_iters > 1): per-scenario
+    backtracking over α ∈ {1, ½, ¼} on the TRUE nonlinear trajectory cost
+    (priced by a cheap RK4 lanes rollout) — the globalization that keeps
+    multi-pass SQP from diverging when a QP solution leaves the LTV model's
+    validity region (full-step SQP at coarse dt can re-linearize about an
+    unstable rollout and NaN).  Costs 3 nominal rollouts per SQP pass;
+    the flagship sqp_iters=1 bench path is unaffected.
     """
     from reak_tpu.kte import lanes, soa
     from reak_tpu.ctrl.riccati import solve_box_mpc_riccati
@@ -298,6 +306,21 @@ def make_kte_mpc(spec, problem: MPCProblem, dt: float, qp_iters: int = 8,
                 return ref[..., None]                      # (H, w, 1)
             return jnp.moveaxis(ref, 0, -1)                # (H, w, B)
 
+        roll_nom = (lanes.make_rollout_lanes(spec, dt)
+                    if sqp_linesearch and sqp_iters > 1 else None)
+
+        def traj_cost(x0s, ul, xr_l, ur_l):
+            """True nonlinear trajectory cost per scenario (B,) — RK4
+            rollout + the problem's quadratic stage costs."""
+            xs = roll_nom(x0s, ul)                       # (H, n, B)
+            dx = xs if xr_l is None else xs - xr_l
+            du = ul if ur_l is None else ul - ur_l
+            qx = jnp.einsum("hib,ij,hjb->b", dx[:-1], problem.Q, dx[:-1])
+            qn = jnp.einsum("ib,ij,jb->b", dx[-1], problem.QN, dx[-1])
+            ru = jnp.einsum("hib,ij,hjb->b", du, problem.R, du)
+            cost = 0.5 * (qx + qn + ru)
+            return jnp.where(jnp.isfinite(cost), cost, jnp.inf)
+
         def solve_batch_lanes(x0s, us_init, x_ref=None, u_ref=None):
             # tracking MPC (x_ref/u_ref) rides the SAME whole-solve Pallas
             # kernel as the regulator path (ops/pdip_whole_pallas
@@ -314,6 +337,24 @@ def make_kte_mpc(spec, problem: MPCProblem, dt: float, qp_iters: int = 8,
                     x0s.T, problem.u_min, problem.u_max, iters=qp_iters,
                     x_ref=xr_l, u_ref=ur_l,
                 )
+                if roll_nom is not None:
+                    # SQP globalization: full-step SQP can diverge when a
+                    # QP solution swings the nominal outside the LTV
+                    # model's validity (re-linearizing about an unstable
+                    # rollout → NaN).  Per-scenario backtracking on the
+                    # TRUE nonlinear cost over α ∈ {1, ½, ¼} keeps every
+                    # accepted nominal finite and non-increasing.
+                    u_prev = jnp.moveaxis(us, 0, -1)     # (H, m, B)
+                    best_u = u_prev
+                    best_J = traj_cost(x0s, u_prev, xr_l, ur_l)
+                    for alpha in (1.0, 0.5, 0.25):
+                        u_a = u_prev + alpha * (ul - u_prev)
+                        J_a = traj_cost(x0s, u_a, xr_l, ur_l)
+                        take = J_a < best_J
+                        best_J = jnp.where(take, J_a, best_J)
+                        best_u = jnp.where(take[None, None, :], u_a, best_u)
+                    ul = best_u
+                    xl = roll_nom(x0s, ul)   # true trajectory of chosen u
                 us = jnp.moveaxis(ul, -1, 0)
             return us, jnp.moveaxis(xl, -1, 0)
 

@@ -458,6 +458,44 @@ def make_rollout_ltv_fused(spec: ChainSpec, dt: float, horizon: int,
     return rollout
 
 
+def make_rollout_lanes(spec: ChainSpec, dt: float):
+    """Nominal-only lanes rollout (RK4): prices candidate input sequences
+    for the SQP line-search at ~4 terms-evaluations per step — far cheaper
+    than the fused rollout's 2nv+1 tangent pulls.  The O(dt⁵) difference vs
+    the solver's exponential-series step map cannot change a cost RANKING
+    between line-search candidates.  ``fn(x0 (B, n), us (B, H, m) or
+    (H, m, B)) → xs (H, n, B)`` (lanes layout, x_1..x_H)."""
+    from reak_tpu.ctrl.riccati_soa import _chol_solve_lanes
+
+    assert not spec.has_free_base
+    nv = spec.nv
+    terms = make_terms_lanes(spec)
+
+    def rate(x, u):
+        qd = x[nv:]
+        M, f = terms(x[:nv], qd)
+        qdd = _chol_solve_lanes(M, (f + u)[:, None, :])[:, 0]
+        return jnp.concatenate([qd, qdd], axis=0)
+
+    def step(x, u):
+        k1 = rate(x, u)
+        k2 = rate(x + 0.5 * dt * k1, u)
+        k3 = rate(x + 0.5 * dt * k2, u)
+        k4 = rate(x + dt * k3, u)
+        return x + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    def rollout(x0, us_l):
+        # x0 (B, n) batch-first; us_l (H, m, B) lanes
+        def body(x, u_t):
+            x1 = step(x, u_t)
+            return x1, x1
+
+        _, xs = jax.lax.scan(body, x0.T, us_l)
+        return xs
+
+    return rollout
+
+
 def make_kte_manifold_lanes(spec: ChainSpec, dt: float, actuated=None,
                             order: int = 4):
     """Free-base KTE chain on the lanes fast path: returns ``(step, ltv)``

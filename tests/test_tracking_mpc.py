@@ -76,6 +76,50 @@ def test_tracking_converges_to_nonzero_target(rng):
     assert np.min(err_r) > 2.0 * np.max(err)
 
 
+def test_sqp_linesearch_rescues_divergent_multipass(rng):
+    """Full-step SQP at coarse dt diverges to NaN when re-linearized about
+    an unstable rollout (sqp_iters≥2, dt=0.05 on the 2-link); the
+    per-scenario cost backtracking must keep it finite AND at least as good
+    as the single-pass solution."""
+    spec = models.planar_2link()
+    H, m = 30, 2
+    prob = _problem(H, m)
+    x0s = jnp.zeros((2, 4)).at[:, 0].set(jnp.asarray([-0.2, 0.1]))
+    us0 = jnp.zeros((2, H, m))
+    x_ref = jnp.asarray([0.5, -0.4, 0.0, 0.0])
+
+    # without globalization: documented divergence
+    bad = mpc.make_kte_mpc(spec, prob, 0.05, qp_iters=10, sqp_iters=3,
+                           rollout="lanes", sqp_linesearch=False)
+    us_b, _ = bad(x0s, us0, x_ref=x_ref)
+    assert not np.all(np.isfinite(np.asarray(us_b)))
+
+    # with globalization: finite, and closer to the target than 1 pass
+    good = mpc.make_kte_mpc(spec, prob, 0.05, qp_iters=10, sqp_iters=3,
+                            rollout="lanes", sqp_linesearch=True)
+    us_g, xs_g = good(x0s, us0, x_ref=x_ref)
+    assert np.all(np.isfinite(np.asarray(us_g)))
+    one = mpc.make_kte_mpc(spec, prob, 0.05, qp_iters=10, sqp_iters=1,
+                           rollout="lanes")
+    us_1, xs_1 = one(x0s, us0, x_ref=x_ref)
+
+    # compare on the TRUE objective (what the line search guarantees):
+    # RK4 rollout + the problem's quadratic tracking cost
+    from reak_tpu.kte.lanes import make_rollout_lanes
+
+    roll = make_rollout_lanes(spec, 0.05)
+
+    def true_cost(us):
+        ul = jnp.moveaxis(us, 0, -1)
+        dx = roll(x0s, ul) - x_ref[None, :, None]
+        qx = jnp.einsum("hib,ij,hjb->b", dx[:-1], prob.Q, dx[:-1])
+        qn = jnp.einsum("ib,ij,jb->b", dx[-1], prob.QN, dx[-1])
+        ru = jnp.einsum("hib,ij,hjb->b", ul, prob.R, ul)
+        return np.asarray(0.5 * (qx + qn + ru))
+
+    assert np.all(true_cost(us_g) <= true_cost(us_1) + 1e-6)
+
+
 def test_kte_scenario_dispatch_fixed_and_free(rng):
     """make_kte_scenario_mpc routes fixed-base chains to the flagship lanes
     solver (tracking) and free-base chains to the manifold lanes SQP."""
