@@ -78,14 +78,18 @@ def _graph_cost_to_come(space, verts, parents):
 
     n = len(verts)
     cost = np.zeros(n)
-    # parents always point to lower indices in the wave builders, so one
-    # forward sweep suffices
+    if n < 2:
+        return cost
+    # ONE batched distance call for every (parent, child) edge, then a
+    # numpy accumulation sweep (parents always point to lower indices in
+    # the wave builders, so one forward pass suffices)
+    par = np.maximum(np.asarray(parents[1:]), 0)
+    d = np.asarray(space.distance(jnp.asarray(verts[par]),
+                                  jnp.asarray(verts[1:])))
     for i in range(1, n):
         p = parents[i]
         if p >= 0:
-            d = float(space.distance(jnp.asarray(verts[p]),
-                                     jnp.asarray(verts[i])))
-            cost[i] = cost[p] + d
+            cost[i] = cost[p] + d[i - 1]
     return cost
 
 
