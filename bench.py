@@ -23,7 +23,7 @@ Accounting (VERDICT r2 item 1):
   * hbm_gbps — analytic per-solve HBM traffic (array reads/writes of the
     scan-carried sequences; formula in _hbm_bytes_per_solve) over wall time.
 
-Also writes PALLAS_r04.json: on-hardware numerics of both Pallas kernels
+Also writes PALLAS_r05.json: on-hardware numerics of both Pallas kernels
 (lanes Cholesky + fused KTE step core) vs their XLA fallbacks.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
@@ -205,7 +205,7 @@ def main():
         errs = [float(jnp.max(jnp.abs(a - b)))
                 for a, b in zip(core_k(xk, uk), core_x(xk, uk))]
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "PALLAS_r04.json"), "w") as f:
+                               "PALLAS_r05.json"), "w") as f:
             json.dump({
                 "backend": jax.default_backend(),
                 "device": str(jax.devices()[0]),
