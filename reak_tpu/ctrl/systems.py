@@ -211,46 +211,71 @@ def euler_discrete(f: Callable, dt: float) -> Callable:
 
 
 def semi_implicit_kte(spec, dt: float, actuated=None) -> Callable:
-    """Linearly-implicit (IMEX) one-step map for STIFF fixed-base KTE chains —
+    """Linearly-implicit (IMEX) one-step map for STIFF KTE chains —
     flexible beams and other high-stiffness joint-spring chains
     (ref: flexible_beam.hpp:52 element; stepping strategy is new, TPU-native:
     unconditional stability for the linear spring/damper part at any dt,
     explicit treatment of the slow nonlinear terms).
 
-        (M + dt·D + dt²·K) v⁺ = M v + dt(f_ex + τ − K(q − q_rest))
-        q⁺ = q + dt·v⁺
+        (M + dt·D + dt²·K) v⁺ = M v + dt(f_ex + τ − K(q_e − q_rest))
+        q⁺ = q ⊕ dt·v⁺
 
     with K = diag(joint stiffness), D = diag(joint damping) handled backward-
     Euler, and f_ex the remaining (gravity/Coriolis/friction) forces explicit.
     One PD solve per step — same cost class as one RK4 stage.
+
+    Free-base chains (floating flexible structures — a free-flying platform
+    with stiff appendages, the Canadarm/SSRMS regime) are supported: the
+    free dofs carry no passive elements (zero K/D rows) and the
+    configuration advance ⊕ integrates the base quaternion by its rate and
+    renormalizes (kte.dynamics.config_rate semantics).
     """
-    from reak_tpu.kte.dynamics import dynamics_terms
-    from reak_tpu.kte.spec import JointType, REVOLUTE, PRISMATIC
+    from reak_tpu.kte.dynamics import config_rate, dynamics_terms
+    from reak_tpu.kte.spec import JointType, REVOLUTE, PRISMATIC, FREE
     from reak_tpu.math.linalg import solve_pd
     import numpy as np
 
-    if spec.has_free_base:
-        raise NotImplementedError("semi_implicit_kte: fixed-base chains only")
-    idx = [i for i, t in enumerate(spec.joint_types)
-           if JointType(t) in (REVOLUTE, PRISMATIC)]
-    k_np = np.asarray(spec.stiffness)[idx]
-    d_np = np.asarray(spec.damping)[idx]
-    rq_np = np.asarray(spec.rest_q)[idx]
     nv = spec.nv
+    nq = spec.nq
+    # per-velocity-dof passive constants (zeros on FREE dofs) + the config
+    # row holding each 1-dof joint's coordinate
+    k_np = np.zeros(nv)
+    d_np = np.zeros(nv)
+    rq_np = np.zeros(nv)
+    qsel_np = np.zeros(nv, np.int32)
+    ci = vi = 0
+    for i, jt in enumerate(spec.joint_types):
+        jt = JointType(jt)
+        if jt == FREE:
+            ci += 7
+            vi += 6
+            continue
+        if jt in (REVOLUTE, PRISMATIC):
+            k_np[vi] = spec.stiffness[i]
+            d_np[vi] = spec.damping[i]
+            rq_np[vi] = spec.rest_q[i]
+            qsel_np[vi] = ci
+            ci += 1
+            vi += 1
 
     def F(x, u, t=0.0):
         dtype = x.dtype
         k = jnp.asarray(k_np, dtype)
         d = jnp.asarray(d_np, dtype)
         rq = jnp.asarray(rq_np, dtype)
-        q, v = x[:nv], x[nv:]
-        M, f = dynamics_terms(spec, q, v)  # f includes −K(q−rq) − D v
-        f_ex = f + k * (q - rq) + d * v
+        q, v = x[:nq], x[nq:]
+        e = q[jnp.asarray(qsel_np)] - rq      # joint coordinate errors
+        M, f = dynamics_terms(spec, q, v)     # f includes −K e − D v
+        f_ex = f + k * e + d * v
         tau = u if actuated is None else actuated @ u
         A = M + dt * jnp.diag(d) + dt * dt * jnp.diag(k)
-        rhs = M @ v + dt * (f_ex + tau - k * (q - rq))
+        rhs = M @ v + dt * (f_ex + tau - k * e)
         v1 = solve_pd(A, rhs)
-        return jnp.concatenate([q + dt * v1, v1])
+        q1 = q + dt * config_rate(spec, q, v1)
+        if spec.has_free_base:
+            quat = q1[3:7]
+            q1 = q1.at[3:7].set(quat / jnp.linalg.norm(quat))
+        return jnp.concatenate([q1, v1])
 
     return F
 

@@ -403,6 +403,44 @@ def flexible_beam(
     )
 
 
+def floating_flexible_beam(
+    n_segments=4,
+    length=1.0,
+    mass=1.0,
+    EI=50.0,
+    base_mass=10.0,
+    rayleigh_beta=0.002,
+) -> ChainSpec:
+    """Free-flying rigid hub with a flexible (pseudo-rigid-body) beam
+    appendage — the flexible-spacecraft regime (ref: flexible_beam.hpp:52
+    elements mounted on free_joints.hpp:165; the Canadarm/SSRMS-on-station
+    configuration class).  Zero gravity; integrate with
+    ctrl/systems.semi_implicit_kte (the beam modes are stiff).
+    """
+    beam = flexible_beam(n_segments=n_segments, length=length, mass=mass,
+                         EI=EI, gravity=0.0, rayleigh_beta=rayleigh_beta)
+    n = n_segments
+    joint_types = [FREE] + list(beam.joint_types)
+    axes = np.vstack([[0.0, 0.0, 1.0], np.asarray(beam.axes)])
+    offs = np.vstack([np.zeros(3), np.asarray(beam.offsets_pos)])
+    com = np.vstack([np.zeros(3), np.asarray(beam.com_pos)])
+    masses = np.concatenate([[base_mass], np.asarray(beam.masses)])
+    hub_I = np.eye(3) * (0.4 * base_mass * 0.25**2)  # solid-sphere hub
+    inert = np.concatenate([hub_I[None], np.asarray(beam.inertias).reshape(n, 3, 3)])
+    return ChainSpec.build(
+        joint_types=joint_types,
+        axes=axes,
+        offsets_pos=offs,
+        com_pos=com,
+        masses=masses,
+        inertias=inert,
+        stiffness=np.concatenate([[0.0], np.asarray(beam.stiffness)]),
+        damping=np.concatenate([[0.0], np.asarray(beam.damping)]),
+        gravity=(0.0, 0.0, 0.0),
+        name=f"floating_flexible_beam_{n}",
+    )
+
+
 def uav_kinematics(
     mass=1.0,
     inertia_diag=(0.01, 0.01, 0.02),

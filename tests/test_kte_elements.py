@@ -171,3 +171,78 @@ class TestTaskForces:
         r = dynamics.fk(spec, q)
         assert tau.shape == (2,)
         assert bool(jnp.any(jnp.abs(tau) > 1e-9))
+
+
+class TestFloatingFlexible:
+    """Free-flying hub + stiff flexible appendage on the IMEX stepper —
+    the free-base extension of semi_implicit_kte (round 5; ref
+    flexible_beam.hpp elements on free_joints.hpp:165)."""
+
+    def _spec(self):
+        from reak_tpu.kte import models
+        return models.floating_flexible_beam(n_segments=3, EI=200.0,
+                                             rayleigh_beta=0.01)
+
+    def test_imex_matches_rk4_at_small_dt(self):
+        from reak_tpu.kte import models
+        from reak_tpu.ctrl import systems
+        spec = self._spec()
+        nq, nv = spec.nq, spec.nv
+        x = jnp.zeros(nq + nv).at[3].set(1.0)
+        x = x.at[nq + 3].set(0.2)              # base angular rate
+        x = x.at[nq + 6].set(0.5)              # bend the first beam joint
+        F_im = jax.jit(systems.semi_implicit_kte(spec, 1e-4))
+        F_rk = jax.jit(systems.kte_discrete(spec, 1e-4))
+        xi, xr = x, x
+        for _ in range(50):
+            xi = F_im(xi, jnp.zeros(nv))
+            xr = F_rk(xr, jnp.zeros(nv))
+        np.testing.assert_allclose(np.asarray(xi), np.asarray(xr),
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_imex_stable_where_rk4_explodes(self):
+        from reak_tpu.ctrl import systems
+        spec = self._spec()
+        nq, nv = spec.nq, spec.nv
+        x0 = jnp.zeros(nq + nv).at[3].set(1.0).at[nq + 6].set(0.8)
+        dt = 5e-2                               # far beyond RK4 stability
+        F_im = jax.jit(systems.semi_implicit_kte(spec, dt))
+        F_rk = jax.jit(systems.kte_discrete(spec, dt))
+        xi, xr = x0, x0
+        for _ in range(200):
+            xi = F_im(xi, jnp.zeros(nv))
+            xr = F_rk(xr, jnp.zeros(nv))
+        assert not bool(jnp.all(jnp.isfinite(xr))) or \
+            float(jnp.max(jnp.abs(xr))) > 1e3   # explicit path blows up
+        assert bool(jnp.all(jnp.isfinite(xi)))
+        # quaternion stays unit through the manifold advance
+        assert abs(float(jnp.linalg.norm(xi[3:7])) - 1.0) < 1e-10
+        # Rayleigh damping dissipates the elastic energy: beam coordinates
+        # settle toward rest
+        assert float(jnp.max(jnp.abs(xi[7:nq]))) < 0.2
+
+    def test_momentum_conserved_without_springs_forcing_base(self):
+        """Zero gravity, no inputs: total linear momentum of the floating
+        system is conserved by the IMEX map (free dofs carry no passive
+        elements; internal spring forces cancel pairwise)."""
+        from reak_tpu.kte import dynamics
+        from reak_tpu.ctrl import systems
+        spec = self._spec()
+        nq, nv = spec.nq, spec.nv
+
+        def momentum(x):
+            q, v = x[:nq], x[nq:]
+            Jv, _ = dynamics.jacobians(spec, q)
+            masses = jnp.asarray(np.asarray(spec.masses))
+            vel = Jv @ v
+            return jnp.sum(masses[:, None] * vel, axis=0)
+
+        x = jnp.zeros(nq + nv).at[3].set(1.0)
+        x = x.at[nq + 0].set(0.1).at[nq + 4].set(0.15).at[nq + 6].set(0.6)
+        F = jax.jit(systems.semi_implicit_kte(spec, 2e-3))
+        p0 = momentum(x)
+        for _ in range(300):
+            x = F(x, jnp.zeros(nv))
+        p1 = momentum(x)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                                   atol=5e-3)
