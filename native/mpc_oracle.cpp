@@ -308,7 +308,9 @@ static void kte_ltv_rollout(const Chain& ch, double dt, int64_t H,
 static int solve_condensed_qp(int64_t H, int64_t n, int64_t m, const Vec& A,
                               const Vec& B, const Vec& c, const Vec& x0,
                               const Vec& Q, const Vec& QN, const Vec& R,
-                              const Vec& lb, const Vec& ub, Vec& u);
+                              const Vec& lb, const Vec& ub, Vec& u,
+                              const Vec* xr = nullptr,
+                              const Vec* ur = nullptr);
 
 int main(int argc, char** argv) {
   bool kte_mode = argc == 4 && std::string_view(argv[1]) == "--kte";
@@ -332,7 +334,8 @@ int main(int argc, char** argv) {
   };
 
   int64_t H, n, m;
-  Vec A, B, c, x0, Q, QN, R, lb, ub;
+  Vec A, B, c, x0, Q, QN, R, lb, ub, xref, uref;
+  bool has_refs = false;
   if (kte_mode) {
     // input: int64 H, nj; double dt; per joint: int64 jtype; double axis[3],
     //        off_pos[3], off_quat[4], com[3], mass, inertia[9], stiffness,
@@ -367,11 +370,25 @@ int main(int argc, char** argv) {
     H = rdi(); n = rdi(); m = rdi();
     A = rd(H * n * n); B = rd(H * n * m); c = rd(H * n); x0 = rd(n);
     Q = rd(n * n); QN = rd(n * n); R = rd(m * m); lb = rd(m); ub = rd(m);
+    // optional tracking payload: x_ref (H*n) then u_ref (H*m)
+    {
+      Vec tmp((size_t)(H * n));
+      size_t got = std::fread(tmp.data(), 8, (size_t)(H * n), f);
+      if (got == (size_t)(H * n)) {
+        xref = std::move(tmp);
+        uref = rd(H * m);
+        has_refs = true;
+      } else if (got != 0) {
+        std::exit(2);
+      }
+    }
     std::fclose(f);
   }
 
   Vec u;
-  int rc = solve_condensed_qp(H, n, m, A, B, c, x0, Q, QN, R, lb, ub, u);
+  int rc = solve_condensed_qp(H, n, m, A, B, c, x0, Q, QN, R, lb, ub, u,
+                              has_refs ? &xref : nullptr,
+                              has_refs ? &uref : nullptr);
   if (rc) return rc;
   FILE* fo = std::fopen(fout, "wb");
   if (!fo) return 2;
@@ -383,7 +400,11 @@ int main(int argc, char** argv) {
 static int solve_condensed_qp(int64_t H, int64_t n, int64_t m, const Vec& A,
                               const Vec& B, const Vec& c, const Vec& x0_,
                               const Vec& Q, const Vec& QN, const Vec& R,
-                              const Vec& lb, const Vec& ub, Vec& u_out) {
+                              const Vec& lb, const Vec& ub, Vec& u_out,
+                              const Vec* xr, const Vec* ur) {
+  // xr (H*n) / ur (H*m): optional tracking references — the stage cost
+  // becomes (x-xr)^T W (x-xr) + (u-ur)^T R (u-ur); only the linear term g
+  // changes (constant offsets drop out of the argmin).
   const Vec& x0 = x0_;
   const int64_t N = H * m;
 
@@ -443,18 +464,29 @@ static int solve_condensed_qp(int64_t H, int64_t n, int64_t m, const Vec& A,
     for (int64_t r = 0; r < m; ++r)
       for (int64_t s2 = 0; s2 < m; ++s2)
         Hqp[(t * m + r) * N + t * m + s2] += R[r * m + s2];
+  Vec xlin_t = xlin;  // tracking: shift the affine trajectory by x_ref
+  if (xr)
+    for (int64_t i = 0; i < H * n; ++i) xlin_t[i] -= (*xr)[i];
   for (int64_t col = 0; col < N; ++col) {
     double s = 0;
     for (int64_t t = 0; t < H; ++t) {
       const double* W = (t == H - 1) ? QN.data() : Q.data();
       for (int64_t i = 0; i < n; ++i) {
         double wx = 0;
-        for (int64_t k = 0; k < n; ++k) wx += W[i * n + k] * xlin[t * n + k];
+        for (int64_t k = 0; k < n; ++k) wx += W[i * n + k] * xlin_t[t * n + k];
         s += Sfull[(t * n + i) * N + col] * wx;
       }
     }
     g[col] = s;
   }
+  if (ur)  // -R u_ref per stage
+    for (int64_t t = 0; t < H; ++t)
+      for (int64_t r = 0; r < m; ++r) {
+        double s = 0;
+        for (int64_t s2 = 0; s2 < m; ++s2)
+          s += R[r * m + s2] * (*ur)[t * m + s2];
+        g[t * m + r] -= s;
+      }
 
   // ---- primal-dual interior point on  min 1/2 u^T Hqp u + g^T u,
   //      lb <= u_t <= ub  (long-step Mehrotra-free path following)

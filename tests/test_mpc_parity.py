@@ -260,3 +260,80 @@ def test_flagship_kte_e2e_parity_reduced_default(tmp_path):
     active = np.sum((np.abs(u_cpp - lb[None, :]) < 1e-6)
                     | (np.abs(u_cpp - ub[None, :]) < 1e-6))
     assert active > 0, "no active box constraints — weak test instance"
+
+
+def _export_refs(path, A, B, c, x0, Q, QN, R, lb, ub, xr, ur):
+    H, n, m = B.shape
+    with open(path, "wb") as f:
+        f.write(struct.pack("<qqq", H, n, m))
+        for arr in (A, B, c, x0, Q, QN, R, lb, ub, xr, ur):
+            f.write(np.ascontiguousarray(arr, np.float64).tobytes())
+
+
+def test_tracking_pdip_matches_cpp_oracle(tmp_path):
+    """The round-5 TRACKING path (x_ref/u_ref — what the error-state
+    free-base scenario MPC rides) against the independent C++ oracle on the
+    SAME LTV data: the satellite error-state model about a tumbling nominal.
+    Unique convex optimum ⇒ the two independent solvers must agree ≤1e-4."""
+    from reak_tpu.ctrl import manifold_lanes as ml, ss_systems as ss
+    from reak_tpu.ctrl.riccati_soa import solve_box_mpc_riccati_soa_fused
+
+    H, n, m = 14, 12, 6
+    params = ss.satellite3D(mass=10.0,
+                            inertia=jnp.diag(jnp.asarray([4.0, 5.0, 6.0])))
+    dt = 0.1
+    step = ml.sat_step_lanes(params, dt)
+    ltv = ml.sat_error_ltv_lanes(params, dt)
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal(4)
+    q /= np.linalg.norm(q)
+    x = jnp.asarray(np.concatenate(
+        [0.3 * rng.standard_normal(3), q, 0.2 * rng.standard_normal(3),
+         0.4 * rng.standard_normal(3)]))[:, None]   # (13, 1) lanes
+    u_nom = jnp.asarray(0.5 * rng.standard_normal((H, 6, 1)))
+    # nominal rollout + per-step LTV — exactly the scenario solver's data
+    xs = [x]
+    A_l, B_l, c_l = [], [], []
+    for t in range(H):
+        Ad, Bd, cd = ltv(xs[-1], u_nom[t])
+        A_l.append(Ad)
+        B_l.append(Bd)
+        c_l.append(cd)
+        xs.append(step(xs[-1], u_nom[t]))
+    A = np.stack([np.asarray(a[..., 0]) for a in A_l])     # (H, 12, 12)
+    B = np.stack([np.asarray(b[..., 0]) for b in B_l])
+    c = np.stack([np.asarray(cc[..., 0]) for cc in c_l])
+    # tangent reference errors about the nominal (target = origin pose)
+    x_ref = jnp.zeros(13).at[3].set(1.0).at[0:3].set(
+        jnp.asarray([0.6, -0.4, 0.2]))
+    e_ref = np.stack([
+        np.asarray(ml.quat_local_lanes(x_ref[:, None], xs[t + 1])[:, 0])
+        for t in range(H)])                                 # (H, 12)
+    u_ref = 0.1 * rng.standard_normal((H, m))
+    Q = np.diag(np.concatenate([np.full(6, 10.0), np.full(6, 1.0)]))
+    QN = 10.0 * Q
+    R = np.eye(m) * 0.05
+    lb, ub = np.full(m, -8.0), np.full(m, 8.0)
+    x0 = np.zeros(n)   # error state starts at the nominal
+
+    fin = str(tmp_path / "track.bin")
+    fout = str(tmp_path / "track_u.bin")
+    _export_refs(fin, A, B, c, x0, Q, QN, R, lb, ub, e_ref, u_ref)
+    subprocess.run([ORACLE, fin, fout], check=True, timeout=240)
+    u_cpp = np.fromfile(fout, np.float64).reshape(H, m)
+
+    u_jax, _ = solve_box_mpc_riccati_soa_fused(
+        jnp.moveaxis(jnp.asarray(A)[None], 0, -1),
+        jnp.moveaxis(jnp.asarray(B)[None], 0, -1),
+        jnp.moveaxis(jnp.asarray(c)[None], 0, -1),
+        jnp.asarray(Q), jnp.asarray(QN), jnp.asarray(R),
+        jnp.asarray(x0)[:, None], jnp.asarray(lb), jnp.asarray(ub),
+        x_ref=jnp.moveaxis(jnp.asarray(e_ref)[None], 0, -1),
+        u_ref=jnp.moveaxis(jnp.asarray(u_ref)[None], 0, -1),
+        iters=30, use_kernels="never")
+    u_jax = np.asarray(u_jax[..., 0])
+    err = float(np.abs(u_jax - u_cpp).max())
+    assert err <= 1e-4, f"tracking parity {err:.2e} > 1e-4"
+    active = np.sum((np.abs(u_cpp - lb[None]) < 1e-6)
+                    | (np.abs(u_cpp - ub[None]) < 1e-6))
+    assert active > 0, "no active box constraints — weak test instance"
