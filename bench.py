@@ -262,6 +262,56 @@ def main():
         traceback.print_exc(file=sys.stderr)
         free_base = {"error": str(e)}
 
+    # ---- free-base KTE CHAIN point: the floating manipulator (free base +
+    # 6-DoF arm, nv=12, tangent d=24) on the lanes manifold SQP + tracking
+    # kernel — the SSRMS-class regime the round-4 verdict flagged as off
+    # the fast path entirely
+    float_arm = None
+    try:
+        from reak_tpu.kte.lanes import make_kte_manifold_lanes
+        from reak_tpu.ctrl import manifold_lanes as ml
+
+        fa_spec = models.floating_arm()
+        fa_B = int(os.environ.get("BENCH_FLOATARM_BATCH", 2048))
+        fa_H = 16
+        nv, nq = fa_spec.nv, fa_spec.nq
+        w = jnp.concatenate([jnp.full(nv, 5.0), jnp.full(nv, 0.5)])
+        prob_fa = mpc.MPCProblem(
+            Q=jnp.diag(w), R=jnp.eye(nv) * 0.05, QN=jnp.diag(10.0 * w),
+            u_min=jnp.full(nv, -30.0), u_max=jnp.full(nv, 30.0),
+            horizon=fa_H)
+        fstep, fltv = make_kte_manifold_lanes(fa_spec, 0.02)
+        solver_fa = ml.make_scenario_mpc_lanes(
+            fstep, fltv, prob_fa, tangent_dim=2 * nv, quat_index=3,
+            qp_iters=qp_iters, sqp_iters=1)
+        qr = rng.standard_normal((fa_B, 4)).astype(np.float32)
+        qr /= np.linalg.norm(qr, axis=1, keepdims=True)
+        x0f = np.zeros((fa_B, nq + nv), np.float32)
+        x0f[:, 0:3] = 0.2 * rng.standard_normal((fa_B, 3))
+        x0f[:, 3:7] = qr
+        x0f[:, 7:nq] = 0.3 * rng.standard_normal((fa_B, nq - 7))
+        x0f[:, nq:] = 0.1 * rng.standard_normal((fa_B, nv))
+        xrf = np.zeros(nq + nv, np.float32)
+        xrf[3] = 1.0
+        f_fa = jax.jit(lambda a, b: jnp.sum(
+            solver_fa(a, jnp.asarray(xrf), b)[0]))
+        t_fa = amortized(f_fa, (jnp.asarray(x0f),
+                                jnp.zeros((fa_B, fa_H, nv), jnp.float32)),
+                         max(2, reps // 2))
+        float_arm = {
+            "metric": "floating_arm_scenario_mpc_solves_per_s",
+            "value": round(fa_B / t_fa, 1),
+            "unit": "solves/s",
+            "config": {"model": "floating_arm (free base + 6-DoF arm)",
+                       "nv": nv, "tangent_dim": 2 * nv, "horizon": fa_H,
+                       "scenarios": fa_B, "qp_iters": qp_iters,
+                       "sqp_iters": 1,
+                       "path": "kte manifold lanes + tracking kernel"},
+        }
+    except Exception as e:
+        traceback.print_exc(file=sys.stderr)
+        float_arm = {"error": str(e)}
+
     # ---- H=128 long-horizon point: must stay on the whole-solve kernel
     # (VERDICT r4 item 2: no fall-back to per-pass kernels at H >= 128)
     h128 = None
@@ -316,6 +366,7 @@ def main():
                            "dtype": "float32",
                            "backend": jax.default_backend()},
                 "free_base_scenario_mpc": free_base,
+                "floating_arm_scenario_mpc": float_arm,
                 "long_horizon_h128": h128,
             }
         )

@@ -11,8 +11,7 @@ Layer map (mirrors the capability layers of the reference, SURVEY.md §1):
 - ``reak_tpu.math``        rotations / quaternions / frames / dense numerics  (ref: core/lin_alg, core/kinetostatics)
 - ``reak_tpu.kte``         chain-spec multibody dynamics                      (ref: ctrl/mbd_kte, ctrl/kte_models)
 - ``reak_tpu.integrators`` ODE steppers as scans                              (ref: core/integrators)
-- ``reak_tpu.ctrl``        state-space systems, filters, LQR/MPC              (ref: ctrl/ctrl_sys)
-- ``reak_tpu.models``      concrete vehicle models                            (ref: ctrl/ss_systems)
+- ``reak_tpu.ctrl``        state-space systems, filters, LQR/MPC, vehicles    (ref: ctrl/ctrl_sys, ctrl/ss_systems)
 - ``reak_tpu.spaces``      metric spaces / topologies                         (ref: ctrl/topologies)
 - ``reak_tpu.interp``      interpolators & trajectories                       (ref: ctrl/interpolation)
 - ``reak_tpu.planning``    sampling-based planners w/ batched device eval     (ref: ctrl/graph_alg, ctrl/path_planning)
