@@ -271,6 +271,16 @@ def make_kte_mpc(spec, problem: MPCProblem, dt: float, qp_iters: int = 8,
     validity region (full-step SQP at coarse dt can re-linearize about an
     unstable rollout and NaN).  Costs 3 nominal rollouts per SQP pass;
     the flagship sqp_iters=1 bench path is unaffected.
+
+    Guarantee and semantics: the accepted sequence's TRUE (RK4) cost is
+    never worse than the previous iterate's.  On open-loop-sensitive
+    systems at coarse dt, the series-map model's optimum can be genuinely
+    WORSE than zero input on the true dynamics — the safeguard then
+    (correctly) keeps the conservative iterate; refine dt, or use the
+    solver in receding horizon where only u[0] is applied and feedback
+    absorbs model drift.  When the line search is active the returned
+    trajectory is the true RK4 rollout of the accepted sequence, not the
+    QP model's prediction.
     """
     from reak_tpu.kte import lanes, soa
     from reak_tpu.ctrl.riccati import solve_box_mpc_riccati
