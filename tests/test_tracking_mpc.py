@@ -120,6 +120,42 @@ def test_sqp_linesearch_rescues_divergent_multipass(rng):
     assert np.all(true_cost(us_g) <= true_cost(us_1) + 1e-6)
 
 
+def test_receding_horizon_tracking_absorbs_model_drift():
+    """The 2-link is open-loop sensitive: replaying a full-horizon
+    model-optimal sequence on the true RK4 dynamics drifts by radians
+    (see the sqp_linesearch docstring).  CLOSED loop — re-solve each step,
+    apply only u[0] to the true dynamics — must converge to the target
+    anyway: the intended usage of the tracking solver."""
+    from reak_tpu.ctrl import systems
+
+    spec = models.planar_2link()
+    H, m, dt = 20, 2, 0.05
+    # cheap torque (R small) so the LQ-optimal gravity-holding offset is
+    # negligible and the closed loop lands ON the target
+    prob = mpc.MPCProblem(
+        Q=jnp.diag(jnp.asarray([10.0, 10.0, 1.0, 1.0])),
+        R=jnp.eye(m) * 1e-3,
+        QN=jnp.diag(jnp.asarray([50.0, 50.0, 5.0, 5.0])),
+        u_min=jnp.full(m, -30.0), u_max=jnp.full(m, 30.0), horizon=H)
+    x_ref = jnp.asarray([0.4, -0.3, 0.0, 0.0])
+    base = mpc.make_kte_mpc(spec, prob, dt, qp_iters=8, sqp_iters=1,
+                            rollout="lanes")
+    solver = jax.jit(lambda a, b: base(a, b, x_ref=x_ref))
+    F_true = jax.jit(systems.kte_discrete(spec, dt))  # the plant (RK4)
+
+    x = jnp.zeros(4)
+    # fresh (zero) warm start per step: re-linearizing about an aggressive
+    # carried-over sequence at this coarse dt can blow the nominal rollout
+    u0 = jnp.zeros((1, H, m))
+    for _ in range(60):
+        us, _ = solver(x[None], u0)
+        x = F_true(x, us[0, 0])
+    err = np.asarray(jnp.abs(x[0:2] - x_ref[0:2]))
+    assert np.max(err) < 0.05, err
+    # and the joint rates have settled
+    assert float(jnp.max(jnp.abs(x[2:4]))) < 0.1
+
+
 def test_kte_scenario_dispatch_fixed_and_free(rng):
     """make_kte_scenario_mpc routes fixed-base chains to the flagship lanes
     solver (tracking) and free-base chains to the manifold lanes SQP."""
